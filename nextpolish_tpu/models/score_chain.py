@@ -1,0 +1,173 @@
+"""Task 1 — short-read score-chain correction (lib/scorechain.c:3-15).
+
+Pipeline per contig:
+  read filter level (contig_read_fliter1) -> insert-slot discovery -> dense
+  pileup counts -> tropical chain scan on device -> corrected bases + flags
+  -> FASTA emission with FLAG_ZERO|FLAG_COVERAGE lowercasing.
+
+Also provides `score_correct_region`, the shared regional correction used by
+the kmer_count no-depth rescue (contig_score_correct, lib/contig.c:706-734)
+and the long-read chain variant (td_score_chain1, lib/scorechain.c:17-29).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.bam import AlnBatch
+from ..io.fasta import ASCII_TO_NIB
+from ..ops import pileup as pl
+from ..ops.symbols import K3, S
+from ..ops.tropical import chain_correct, init_state, pad_to_chunk
+from .contig_state import ContigState, find_regions, merge_regions
+from .flags import FLAG_COVERAGE, FLAG_ZERO
+
+
+@dataclass
+class AlgoConfig:
+    """Algorithm thresholds (C Configure defaults, lib/config.c:10-41)."""
+
+    trim_len_edge: int = 2
+    ext_len_edge: int = 2
+    min_map_quality: int = 0
+    indel_balance_factor_sgs: float = 0.5
+    min_count_ratio_skip: float = 0.8
+    min_len_ldr: int = 3
+    min_len_inter_kmer: int = 5
+    max_len_kmer: int = 50
+    max_count_kmer: int = 50
+    indel_balance_factor_lgs: float = 0.33
+    max_clip_ratio_sgs: float = 0.15
+    max_clip_ratio_lgs: float = 0.4
+    max_ins_len_sgs: int = 10000
+    max_ins_fold_sgs: int = 5
+    count_read_ins_sgs: int = 10000
+    min_depth_snp: int = 3
+    min_count_snp: int = 5
+    min_count_snp_link: int = 5
+    ploidy: float = 2.0
+    max_indel_factor_lgs: float = 0.21
+    max_snp_factor_lgs: float = 0.53
+    min_snp_factor_sgs: float = 0.34
+    max_variant_count_lgs: int = 150000
+    read_tlen: int = 0  # estimated insert size * max_ins_fold_sgs
+
+
+def estimate_read_tlen(batch: AlnBatch, cfg: AlgoConfig) -> int:
+    """Mean insert size from the first ~10k proper pairs * max_ins_fold_sgs
+    (bam_tlen, lib/config.c:80-101 — including its count-from-1 average)."""
+    tl = batch.tlen
+    sel = (tl > 0) & (tl < cfg.max_ins_len_sgs)
+    take = np.flatnonzero(sel)[: cfg.count_read_ins_sgs - 1]
+    count = len(take) + 1
+    mean = int(tl[take].sum()) // count
+    return mean * cfg.max_ins_fold_sgs
+
+
+def _coverage_of(counts: np.ndarray, choice: np.ndarray) -> np.ndarray:
+    """Per-cell fraction of the cell total supporting the chosen base
+    (base_get_coverage, lib/base.c:79-89) — raw counts, suffix match."""
+    by_suffix = counts.reshape(-1, S * S, S).sum(axis=1, dtype=np.int64)
+    return np.take_along_axis(by_suffix, choice[:, None].astype(np.int64),
+                              axis=1)[:, 0]
+
+
+def run_chain_region(counts: np.ndarray, refkmer: np.ndarray,
+                     total: np.ndarray, n_dp: int, rate: float) -> np.ndarray:
+    L = pad_to_chunk(max(n_dp, 1))
+    c = np.zeros((L, K3), dtype=np.int32)
+    c[:n_dp] = counts[:n_dp]
+    rk = np.zeros(L, dtype=np.int32)
+    rk[:n_dp] = refkmer[:n_dp]
+    t = np.zeros(L, dtype=np.int32)
+    t[:n_dp] = total[:n_dp]
+    v = np.zeros(L, dtype=bool)
+    v[:n_dp] = True
+    choice, _ = chain_correct(c, rk, t, v, float(rate), init_state(counts[0]))
+    return np.asarray(choice)[:n_dp]
+
+
+def score_correct_region(state: ContigState, batch: AlnBatch,
+                         levels: np.ndarray, tid: int,
+                         contig_nib: np.ndarray, start: int, end: int,
+                         filterlevel: int, rate: float, cfg: AlgoConfig
+                         ) -> None:
+    """contig_score_correct (lib/contig.c:706-734) on [start, end], assuming
+    insert slots already exist in state.index.  Mutates state in place."""
+    view = state.index.region_view(start, end)
+    cell0 = int(state.index.cell_of[start - state.index.start])
+    p = pl.build_pileup(batch, levels, filterlevel, view, tid, contig_nib,
+                        cfg.trim_len_edge)
+    _apply_correction(state, p, cell0, rate, cfg)
+
+    if filterlevel == 2:
+        # no-depth rescue: re-parse FLAG_ZERO runs at filter level 1
+        # (lib/contig.c:721-733)
+        nodepth = find_regions(state, start, end, gap=0, con=0,
+                               flag_bit=FLAG_ZERO, extend=False,
+                               ext_len_edge=cfg.ext_len_edge)
+        for rs, re in merge_regions(nodepth):
+            sub = state.index.region_view(rs, re)
+            sub_cell0 = int(state.index.cell_of[rs - state.index.start])
+            lo = sub_cell0 - cell0
+            hi = lo + sub.n_cells_dp
+            ex = pl.expand_reads(batch, levels, 1, sub, tid,
+                                 cfg.trim_len_edge)
+            extra = np.bincount(ex.cells * K3 + ex.kmers(),
+                                minlength=sub.n_cells * K3
+                                ).reshape(sub.n_cells, K3)
+            counts = p.counts[lo:hi].astype(np.int64) + extra[: sub.n_cells_dp]
+            sub_p = pl.Pileup(sub,
+                              np.minimum(counts, 0xFFFF).astype(np.uint16),
+                              counts.sum(axis=1).astype(np.int32),
+                              p.refkmer[lo:hi], p.ref_sym[lo:hi])
+            p.counts[lo:hi] = sub_p.counts
+            p.total[lo:hi] = sub_p.total
+            _apply_correction(state, sub_p, sub_cell0, rate, cfg)
+
+
+def _apply_correction(state: ContigState, p: pl.Pileup, cell0: int,
+                      rate: float, cfg: AlgoConfig) -> None:
+    """Chain DP + base/flag update (contig_region_score + _region_correct)."""
+    n_dp = p.index.n_cells_dp
+    choice = run_chain_region(p.counts, p.refkmer, p.total, n_dp, rate)
+    cells = cell0 + np.arange(n_dp)
+    state.base[cells] = choice
+    total = p.total[:n_dp].astype(np.int64)
+    state.update_flags(cells, total == 1, FLAG_ZERO)
+    cov = _coverage_of(p.counts[:n_dp].astype(np.int64), choice)
+    low = cov < cfg.min_count_ratio_skip * np.maximum(total, 1)
+    state.update_flags(cells, low, FLAG_COVERAGE)
+
+
+def score_chain_contig(name: str, draft: bytes, batch: AlnBatch,
+                       cfg: AlgoConfig) -> bytes:
+    """Task 1 entry for one contig: polished sequence bytes
+    (score_chain, lib/scorechain.c:3-15)."""
+    tid = batch.header.name2id(name)
+    L = len(draft)
+    levels = pl.filter_sgs_chain(batch)
+    index = pl.build_cell_index(batch, levels, tid, 0, L - 1)
+    state = ContigState.from_draft(name, draft, index)
+    contig_nib = ASCII_TO_NIB[np.frombuffer(draft, dtype=np.uint8)]
+    score_correct_region(state, batch, levels, tid, contig_nib, 0, L - 1,
+                         filterlevel=1, rate=cfg.indel_balance_factor_sgs,
+                         cfg=cfg)
+    return state.emit(FLAG_ZERO | FLAG_COVERAGE)
+
+
+def td_score_chain_contig(name: str, draft: bytes, batch: AlnBatch,
+                          cfg: AlgoConfig) -> bytes:
+    """Legacy long-read chain variant (td_score_chain1, lib/scorechain.c:17-29):
+    lgs filter, lgs balance factor, no lowercase flags in output."""
+    tid = batch.header.name2id(name)
+    L = len(draft)
+    levels = pl.filter_lgs(batch, cfg.max_clip_ratio_lgs)
+    index = pl.build_cell_index(batch, levels, tid, 0, L - 1)
+    state = ContigState.from_draft(name, draft, index)
+    contig_nib = ASCII_TO_NIB[np.frombuffer(draft, dtype=np.uint8)]
+    score_correct_region(state, batch, levels, tid, contig_nib, 0, L - 1,
+                         filterlevel=1, rate=cfg.indel_balance_factor_lgs,
+                         cfg=cfg)
+    return state.emit(0)

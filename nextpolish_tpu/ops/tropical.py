@@ -1,0 +1,248 @@
+"""Score-chain DP as a blocked tropical ((max,+)) matrix scan on TPU.
+
+The reference computes a sequential per-cell Viterbi over observed 3-mers
+(contig_calculate_score / contig_region_score / contig_region_correct,
+lib/contig.c:424-496): state = last emitted base (16 nibbles there, 8 compact
+symbols here), transition value = adjusted 3-mer count, prefix-base-0 kmers
+chain from the running max (base_max_score), and the backtrack follows stored
+kmer prefixes.
+
+TPU-native reformulation
+------------------------
+Each cell's transition is an 8x8 tropical matrix
+
+    M_c[b2, b3] = max_b1  count'_c(b1,b2,b3) - total'_c * rate   (or -inf)
+
+augmented with a pseudo-state 0 that carries the running max:
+A[:,0] = rowmax(M) keeps s[0] == max over real states, and row A[0,:] feeds
+read-start kmers from that max — exactly base_max_score semantics.  The whole
+chain is then an associative product of A matrices:
+
+  * phase 1: per-chunk composed products (vmapped scans — parallel over chunks)
+  * phase 2: `lax.associative_scan` over chunk products (log depth)
+  * phase 3: per-chunk state replay (vmapped) -> forward vector f at every cell
+
+The backward vector g is the same machinery on reversed/transposed matrices,
+and the corrected base at each cell is argmax_b>=1 (f+g) — path-equivalent to
+the C backtrack (ties may resolve differently; see models/score_chain.py).
+
+Scores are kept in f32 with per-step renormalization (uniform per-cell shifts
+never change any argmax in a tropical chain), avoiding f64 on TPU.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .symbols import K3, S
+
+NEG = jnp.float32(-1e9)
+CHUNK = 256
+
+
+def tropical_compose(a, b):
+    """(max,+) matrix product over the last two axes."""
+    return jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+
+def _eye():
+    return jnp.full((S, S), NEG).at[jnp.arange(S), jnp.arange(S)].set(0.0)
+
+
+def build_transition(counts, refkmer, total, rate):
+    """Per-cell augmented transition matrices A[L, S, S] from pileup counts.
+
+    Mirrors contig_calculate_score's emission adjustments
+    (lib/contig.c:424-453): candidates are observed kmers only; the draft's
+    own kmer is decremented when the cell has real coverage; the per-cell
+    normalizer uses total-1 when total > 1.
+    """
+    cnt = counts.astype(jnp.float32)
+    valid = counts > 0
+    dec = (total > 1).astype(jnp.float32)
+    is_ref = jax.nn.one_hot(refkmer, K3, dtype=jnp.float32)
+    adj = cnt - is_ref * dec[:, None]
+    tot1 = jnp.where(total > 1, total - 1, total).astype(jnp.float32)
+    em = jnp.where(valid, adj - tot1[:, None] * jnp.float32(rate), NEG)
+    em = em.reshape(-1, S, S, S)
+    M = jnp.max(em, axis=1)  # max over b1 -> [L, b2, b3]
+    rowmax = jnp.max(M, axis=2)
+    return M.at[:, :, 0].set(rowmax)
+
+
+def _forward_states(A, s0, chunk):
+    """All-prefix state vectors: f[t] = s0 (x) A_0 (x) ... (x) A_t."""
+    L = A.shape[0]
+    nch = L // chunk
+    Ach = A.reshape(nch, chunk, S, S)
+
+    def comp_step(carry, a):
+        out = tropical_compose(carry, a)
+        return out - jnp.max(out), None
+
+    def chunk_product(ach):
+        P, _ = jax.lax.scan(comp_step, _eye(), ach)
+        return P
+
+    P = jax.vmap(chunk_product)(Ach)  # [nch, S, S]
+    Pinc = jax.lax.associative_scan(tropical_compose, P)
+    Pexc = jnp.concatenate([_eye()[None], Pinc[:-1]], axis=0)
+    s_start = jnp.max(s0[None, :, None] + Pexc, axis=1)
+    s_start = s_start - jnp.max(s_start, axis=1, keepdims=True)
+
+    def apply_step(s, a):
+        out = jnp.max(s[:, None] + a, axis=0)
+        return out, out
+
+    def chunk_apply(s_init, ach):
+        _, fs = jax.lax.scan(apply_step, s_init, ach)
+        return fs
+
+    f = jax.vmap(chunk_apply)(s_start, Ach)
+    return f.reshape(L, S)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def chain_correct(counts, refkmer, total, valid, rate, s0, chunk=CHUNK):
+    """Run the full chain DP.
+
+    Args:
+      counts: [L, 512] int32 pileup (L padded to a multiple of `chunk`).
+      refkmer: [L] int32 draft 3-mer per cell.
+      total:  [L] int32 cell totals.
+      valid:  [L] bool — False cells get identity transitions (padding).
+      rate:   indel balance factor (score normalizer).
+      s0:     [S] initial state scores — 0 for prefix bases observed at the
+              region's first cell (the reference's `temp` seed cell,
+              lib/contig.c:456-464), NEG elsewhere.
+
+    Returns (choice[L] int8 compact symbol, best[L] f32 path score margin).
+    """
+    A = build_transition(counts, refkmer, total, rate)
+    A = jnp.where(valid[:, None, None], A, _eye()[None])
+
+    f = _forward_states(A, s0, chunk)
+
+    # backward: suffix products via reversed transposes
+    Ar = jnp.flip(jnp.swapaxes(A, 1, 2), axis=0)
+    fr = _forward_states(Ar, jnp.zeros((S,)), chunk)
+    g = jnp.concatenate([jnp.flip(fr[:-1], axis=0), jnp.zeros((1, S))], axis=0)
+
+    tot = f + g
+    choice = jnp.argmax(tot[:, 1:], axis=1).astype(jnp.int8) + 1
+    best = jnp.max(tot[:, 1:], axis=1)
+    return choice, best
+
+
+def pad_to_chunk(n: int, chunk: int = CHUNK) -> int:
+    """Round up to a power-of-two number of chunks so jit shapes are drawn
+    from a small bucket set (bounds recompilation across regions)."""
+    nch = max(-(-n // chunk), 1)
+    p = 1
+    while p < nch:
+        p *= 2
+    return p * chunk
+
+
+def init_state(counts0: np.ndarray) -> np.ndarray:
+    """s0 from the first cell's observed kmers: every prefix base present
+    gets score 0 (the C `temp` seed, lib/contig.c:459-464); state 0 is always
+    live (it is the running max)."""
+    s0 = np.full(S, float(NEG), dtype=np.float32)
+    s0[0] = 0.0
+    prefixes = np.flatnonzero(counts0.reshape(S, S, S).sum(axis=(0, 2)))
+    s0[prefixes] = 0.0
+    return s0
+
+
+def run_chain(counts: np.ndarray, refkmer: np.ndarray, total: np.ndarray,
+              n_dp: int, rate: float, chunk: int = CHUNK) -> np.ndarray:
+    """Host wrapper: pad, run on device, return compact choices[:n_dp]."""
+    L = pad_to_chunk(max(n_dp, 1), chunk)
+    c = np.zeros((L, K3), dtype=np.int32)
+    c[:n_dp] = counts[:n_dp]
+    rk = np.zeros(L, dtype=np.int32)
+    rk[:n_dp] = refkmer[:n_dp]
+    t = np.zeros(L, dtype=np.int32)
+    t[:n_dp] = total[:n_dp]
+    v = np.zeros(L, dtype=bool)
+    v[:n_dp] = True
+    choice, _ = chain_correct(c, rk, t, v, float(rate), init_state(counts[0]),
+                              chunk=chunk)
+    return np.asarray(choice)[:n_dp]
+
+
+def slow_fg(A: np.ndarray, s0: np.ndarray):
+    """Naive f64 sequential forward/backward over transition matrices —
+    oracle for the blocked scan (tests only)."""
+    L = A.shape[0]
+    A = A.astype(np.float64)
+    f = np.zeros((L, S))
+    s = s0.astype(np.float64).copy()
+    for t in range(L):
+        s = np.max(s[:, None] + A[t], axis=0)
+        s -= s.max()
+        f[t] = s
+    g = np.zeros((L, S))
+    v = np.zeros(S)
+    g[L - 1] = v
+    for t in range(L - 1, 0, -1):
+        v = np.max(A[t] + v[None, :], axis=1)
+        v -= v.max()
+        g[t - 1] = v
+    return f, g
+
+
+# ---------------------------------------------------------------------------
+# oracle: direct f64 transcription of the C scoring loop, for tests
+# ---------------------------------------------------------------------------
+
+def slow_chain(counts: np.ndarray, refkmer: np.ndarray, total: np.ndarray,
+               rate: float) -> np.ndarray:
+    """Per-cell transcription of contig_region_score + contig_region_correct
+    (f64, python loops).  Ties: first kmer index wins, matching the fast
+    path's fixed iteration order."""
+    L = counts.shape[0]
+    NEGI = -1e18
+    score = np.full((L, S), NEGI)
+    bestk = np.zeros((L, S), dtype=np.int32)
+    prev = np.full(S, NEGI)
+    prev[0] = 0.0
+    prev[np.flatnonzero(counts[0].reshape(S, S, S).sum(axis=(0, 2)))] = 0.0
+    for c in range(L):
+        tot = int(total[c])
+        tot1 = tot - 1 if tot > 1 else tot
+        cur = np.full(S, NEGI)
+        curk = np.zeros(S, dtype=np.int32)
+        for k in np.flatnonzero(counts[c]):
+            b2 = (k >> 3) & 7
+            b3 = k & 7
+            base_score = np.max(prev) if b2 == 0 else prev[b2]
+            if base_score <= NEGI / 2:
+                continue
+            cnt = int(counts[c, k])
+            if k == refkmer[c] and tot > 1:
+                cnt -= 1
+            sc = base_score + cnt - tot1 * rate
+            if sc > cur[b3]:
+                cur[b3] = sc
+                curk[b3] = k
+        cur[0] = np.max(cur[1:])
+        score[c] = cur
+        bestk[c] = curk
+        prev = cur
+    # backtrack (contig_region_correct :473-496)
+    choice = np.zeros(L, dtype=np.int8)
+    b = int(np.argmax(score[L - 1, 1:]) + 1)
+    k = bestk[L - 1, b]
+    for c in range(L - 1, -1, -1):
+        choice[c] = k & 7
+        if c:
+            b2 = (k >> 3) & 7
+            if b2 == 0:
+                b2 = int(np.argmax(score[c - 1, 1:]) + 1)
+            k = bestk[c - 1, b2]
+    return choice

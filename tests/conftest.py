@@ -11,3 +11,5 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
+# NOTE: do NOT enable jax's persistent compilation cache here — measured 8x
+# slower compiles for these kernels (102s vs 13s for the chain scan).

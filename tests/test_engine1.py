@@ -1,0 +1,133 @@
+"""Engine-1 (score_chain) tests: vectorized pileup vs slow C-transcription,
+blocked tropical scan vs naive f64, and end-to-end error correction."""
+import numpy as np
+import pytest
+
+from nextpolish_tpu.models.score_chain import AlgoConfig, score_chain_contig
+from nextpolish_tpu.ops import pileup as pl
+from nextpolish_tpu.ops import tropical
+from nextpolish_tpu.ops.symbols import K3
+from util_sim import (
+    make_draft,
+    rand_seq,
+    random_messy_records,
+    records_to_batch,
+    simulate_reads,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_pileup_fast_matches_slow(seed):
+    rng = np.random.default_rng(seed)
+    L = 300
+    draft = rand_seq(rng, L)
+    from nextpolish_tpu.io.fasta import ASCII_TO_NIB
+
+    nib = ASCII_TO_NIB[np.frombuffer(draft, dtype=np.uint8)]
+    recs = random_messy_records(rng, L, n_reads=50)
+    batch = records_to_batch(recs, L)
+    levels = pl.filter_sgs_chain(batch)
+
+    # start/end sub-regions too, not just the whole contig
+    for start, end in [(0, L - 1), (37, 211), (100, 131)]:
+        sidx, scounts, stotal, srefk, _ = pl.slow_pileup(
+            batch, levels, 1, levels, 0, start, end, nib
+        )
+        index = pl.build_cell_index(batch, levels, 0, start, end)
+        assert index.ins_len.tolist() == sidx.ins_len.tolist()
+        assert index.n_cells == sidx.n_cells
+        p = pl.build_pileup(batch, levels, 1, index, 0, nib)
+        assert np.array_equal(p.refkmer, srefk)
+        assert np.array_equal(p.counts.astype(np.int64), scounts), (
+            f"counts mismatch at region {start}-{end}: "
+            f"{np.argwhere(p.counts.astype(np.int64) != scounts)[:10]}"
+        )
+        assert np.array_equal(p.total, stotal.astype(np.int32))
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_blocked_scan_matches_naive(seed):
+    rng = np.random.default_rng(seed)
+    L = 200
+    draft = rand_seq(rng, L)
+    from nextpolish_tpu.io.fasta import ASCII_TO_NIB
+
+    nib = ASCII_TO_NIB[np.frombuffer(draft, dtype=np.uint8)]
+    recs = random_messy_records(rng, L, n_reads=40)
+    batch = records_to_batch(recs, L)
+    levels = pl.filter_sgs_chain(batch)
+    index = pl.build_cell_index(batch, levels, 0, 0, L - 1)
+    p = pl.build_pileup(batch, levels, 1, index, 0, nib)
+    n = index.n_cells_dp
+
+    import jax.numpy as jnp
+
+    A = np.asarray(
+        tropical.build_transition(
+            jnp.asarray(p.counts[:n].astype(np.int32)),
+            jnp.asarray(p.refkmer[:n]),
+            jnp.asarray(p.total[:n]),
+            0.5,
+        )
+    )
+    s0 = tropical.init_state(p.counts[0])
+    f, g = tropical.slow_fg(A, s0)
+    naive_best = (f + g)[:, 1:].max(axis=1)
+    naive_arg = (f + g)[:, 1:]
+
+    choice = tropical.run_chain(
+        p.counts.astype(np.int32), p.refkmer, p.total, n, 0.5, chunk=64
+    )
+    # fast choice must be max-achieving per cell (tie-agnostic check)
+    got = naive_arg[np.arange(n), choice - 1]
+    assert np.allclose(got, naive_best, atol=1e-3)
+
+
+def test_score_chain_corrects_errors():
+    rng = np.random.default_rng(42)
+    true = rand_seq(rng, 1500)
+    draft, ops = make_draft(rng, true, n_edits=12)
+    recs = simulate_reads(rng, true, ops, read_len=100, step=4)
+    batch = records_to_batch(recs, len(draft))
+    polished = score_chain_contig("ctg1", draft, batch, AlgoConfig())
+    assert polished.upper() == true, (
+        f"polished != true: {len(polished)} vs {len(true)}"
+    )
+    # draft actually differed
+    assert draft != true
+
+
+def test_score_chain_zero_coverage_lowercase():
+    rng = np.random.default_rng(3)
+    true = rand_seq(rng, 600)
+    draft, ops = make_draft(rng, true, n_edits=3)
+    # reads only cover the first 300 true bases
+    recs = [
+        r
+        for r in simulate_reads(rng, true, ops, read_len=100, step=4)
+        if r["pos"] < 200
+    ]
+    batch = records_to_batch(recs, len(draft))
+    polished = score_chain_contig("ctg1", draft, batch, AlgoConfig())
+    # uncovered tail: draft preserved but lowercased (FLAG_ZERO)
+    tail = polished[-100:]
+    assert tail == tail.lower()
+    assert tail.upper() in draft.upper()
+    # covered interior: corrected and uppercase (the first couple of
+    # positions only have draft coverage because of read-edge trimming,
+    # so they are legitimately lowercased — same as the reference)
+    head = polished[10:150]
+    assert head == head.upper()
+    assert head in true
+
+
+def test_score_chain_noisy_reads():
+    rng = np.random.default_rng(11)
+    true = rand_seq(rng, 1200)
+    draft, ops = make_draft(rng, true, n_edits=8)
+    recs = simulate_reads(rng, true, ops, read_len=100, step=3,
+                          err_rate=0.01)
+    batch = records_to_batch(recs, len(draft))
+    polished = score_chain_contig("ctg1", draft, batch, AlgoConfig())
+    # with 1% read error at ~33x depth, consensus should still be exact
+    assert polished.upper() == true
