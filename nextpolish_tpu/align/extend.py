@@ -1,0 +1,230 @@
+"""Batched banded affine-gap local alignment on device.
+
+Replaces the extension stage of bwa mem / minimap2 (ksw) with a TPU-native
+formulation: one `lax.scan` over read rows, band vectors on the VPU, and the
+within-row deletion recurrence resolved EXACTLY by a cumulative max:
+
+    F[c] = -(gapo+gape) - c*gape + cummax_{c'<c}(H'[c'] + c'*gape)
+
+(the affine F "lazy loop" is a (max,+) linear recurrence, so a cummax with
+linear decay solves it in closed form).  Traceback bits are emitted per row
+and chased on host, vectorized across the whole batch.
+
+Coordinates: cell (i, c) aligns read base i to ref base j = i + c, c in
+[0, B).  The ref window must be length R + B.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(10 ** 7)
+
+# traceback encoding: low 2 bits = H source, bit2 = E open, bit3 = F open
+H_START, H_DIAG, H_E, H_F = 0, 1, 2, 3
+
+
+@partial(jax.jit,
+         static_argnames=("match", "mismatch", "gapo", "gape", "mode"))
+def _band_align(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
+                mode="local"):
+    """q: [Bt, R] uint8 codes (4=pad); t: [Bt, R+B] codes.
+
+    local mode: Smith-Waterman, cell (i, c) aligns q[i] to t[i+c] and the
+    best cell anywhere is the alignment end.
+    global mode: Needleman-Wunsch of q[0:qlen) vs the ref segment; cell
+    (i, c) maps to ref index j = i + c - off with off = B//2, t must be laid
+    out as t[x] = ref[x - off] (host pads x < off), and the forced end cell
+    is (qlen-1, tlen - qlen + off).
+
+    Returns (tb [Bt, R, B] uint8, best score, end row, end col per read).
+    """
+    Bt, R = q.shape
+    B = t.shape[1] - R
+    cidx = jnp.arange(B)
+    local = mode == "local"
+    off = 0 if local else B // 2
+
+    def row(carry, qi_i):
+        Hprev, Eprev, Hfin, i = carry
+        qi = qi_i
+        tj = jnp.take_along_axis(
+            t, (i + cidx)[None, :].repeat(Bt, 0), axis=1
+        )
+        valid_q = (qi < 4) & (i < qlen[:, None])
+        j = (i + cidx - off)[None, :]
+        valid_t = (tj < 4) & (j < tlen[:, None]) & (j >= 0)
+        sub = jnp.where(qi == tj, match, -mismatch)
+        sub = jnp.where(valid_q & valid_t, sub, NEG)
+
+        Hup = jnp.concatenate(
+            [Hprev[:, 1:], jnp.full((Bt, 1), NEG, Hprev.dtype)], axis=1
+        )
+        Eup = jnp.concatenate(
+            [Eprev[:, 1:], jnp.full((Bt, 1), NEG, Eprev.dtype)], axis=1
+        )
+        e_open = Hup - gapo >= Eup
+        E = jnp.maximum(Hup - gapo, Eup) - gape
+        diag = Hprev + sub
+        Hp = jnp.maximum(diag, E)
+        if local:
+            Hp = jnp.maximum(Hp, 0)
+        # F via cummax with linear decay (exact affine in-row recurrence)
+        decay = Hp + cidx[None, :] * gape
+        cm = jax.lax.cummax(decay, axis=1)
+        cm_shift = jnp.concatenate(
+            [jnp.full((Bt, 1), NEG, cm.dtype), cm[:, :-1]], axis=1
+        )
+        F = cm_shift - (gapo + gape) - cidx[None, :] * gape
+        Hp_shift = jnp.concatenate(
+            [jnp.full((Bt, 1), NEG, Hp.dtype), (Hp + cidx[None] * gape)[:, :-1]],
+            axis=1,
+        )
+        f_open = Hp_shift >= cm_shift
+        H = jnp.maximum(Hp, F)
+
+        if local:
+            src = jnp.where(H == 0, H_START,
+                            jnp.where(H == F, H_F,
+                                      jnp.where(H == diag, H_DIAG, H_E)))
+            src = jnp.where((H == diag) & (H > 0), H_DIAG, src)
+        else:
+            src = jnp.where(H == F, H_F,
+                            jnp.where(H == diag, H_DIAG, H_E))
+            src = jnp.where(H == diag, H_DIAG, src)
+        tb = (src.astype(jnp.uint8)
+              | (e_open.astype(jnp.uint8) << 2)
+              | (f_open.astype(jnp.uint8) << 3))
+        best = jnp.max(H, axis=1)
+        argc = jnp.argmax(H, axis=1)
+        Hfin = jnp.where((i == qlen - 1)[:, None], H, Hfin)
+        return (H, E, Hfin, i + 1), (tb, best, argc)
+
+    if local:
+        H0 = jnp.zeros((Bt, B), jnp.int32)
+    else:
+        # virtual row i=-1: j = c - 1 - off; 0 at j=-1, leading-deletion
+        # penalties for j >= 0, NEG left of the start
+        H0 = jnp.where(cidx[None, :] == off, 0,
+                       jnp.where(cidx[None, :] > off,
+                                 -(gapo + (cidx[None, :] - off) * gape),
+                                 NEG)).astype(jnp.int32).repeat(Bt, 0)
+    E0 = jnp.full((Bt, B), NEG, jnp.int32)
+    Hfin0 = jnp.full((Bt, B), NEG, jnp.int32)
+    (_, _, Hfin, _), (tb, best_rows, argc_rows) = jax.lax.scan(
+        row, (H0, E0, Hfin0, jnp.int32(0)), q.T[:, :, None].astype(jnp.int32)
+    )
+    if local:
+        best_i = jnp.argmax(best_rows, axis=0)
+        best = jnp.take_along_axis(best_rows, best_i[None], axis=0)[0]
+        best_c = jnp.take_along_axis(argc_rows, best_i[None], axis=0)[0]
+    else:
+        best_i = qlen - 1
+        best_c = tlen - qlen + off
+        best = jnp.take_along_axis(Hfin, best_c[:, None], axis=1)[:, 0]
+    return tb.transpose(1, 0, 2), best, best_i, best_c
+
+
+def band_align(q_codes: np.ndarray, t_codes: np.ndarray, qlen: np.ndarray,
+               tlen: np.ndarray, match=1, mismatch=4, gapo=6, gape=1,
+               mode="local"):
+    """Host wrapper; returns numpy (tb, score, end_i, end_c)."""
+    tb, sc, bi, bc = _band_align(
+        jnp.asarray(q_codes), jnp.asarray(t_codes),
+        jnp.asarray(qlen, dtype=jnp.int32), jnp.asarray(tlen, dtype=jnp.int32),
+        match=match, mismatch=mismatch, gapo=gapo, gape=gape, mode=mode,
+    )
+    return (np.asarray(tb), np.asarray(sc), np.asarray(bi), np.asarray(bc))
+
+
+# CIGAR op codes (BAM)
+_M, _I, _D, _S = 0, 1, 2, 4
+
+
+def traceback_batch(tb: np.ndarray, end_i: np.ndarray, end_c: np.ndarray,
+                    qlen: np.ndarray, mode: str = "local"):
+    """Vectorized traceback over the whole batch.
+
+    Returns (ops matrix [Bt, steps] of per-step op+1 codes, read_start,
+    ref_start j_lo, read_end i_hi (inclusive), ref_end j_hi, lead_del).
+    In global mode ref index j = i + c - B//2 and lead_del counts leading
+    deletions implied by finishing left of the virtual origin."""
+    Bt, R, B = tb.shape
+    off = 0 if mode == "local" else B // 2
+    i = end_i.astype(np.int64).copy()
+    c = end_c.astype(np.int64).copy()
+    state = np.zeros(Bt, dtype=np.int8)  # 0=H, 1=E, 2=F
+    done = np.zeros(Bt, dtype=bool)
+    max_steps = 2 * R + B + 4
+    ops = np.full((Bt, max_steps), -1, dtype=np.int8)
+    # record end coordinates
+    i_hi = end_i.astype(np.int64)
+    j_hi = end_i.astype(np.int64) + end_c.astype(np.int64) - off
+    step = 0
+    while not done.all() and step < max_steps:
+        done |= i < 0
+        inb = (~done) & (i >= 0) & (c >= 0) & (c < B)
+        cell = np.zeros(Bt, dtype=np.uint8)
+        cell[inb] = tb[np.nonzero(inb)[0], i[inb], c[inb]]
+        hsrc = cell & 3
+        act = np.zeros(Bt, dtype=np.int8)  # op emitted this step
+        # H state
+        mH = inb & (state == 0)
+        start = mH & (hsrc == H_START)
+        done |= start
+        diag = mH & (hsrc == H_DIAG)
+        act[diag] = _M + 1  # +1 so 0 = none
+        toE = mH & (hsrc == H_E)
+        toF = mH & (hsrc == H_F)
+        state[toE] = 1
+        state[toF] = 2
+        # E state: consume read base (I), move to (i-1, c+1)
+        mE = inb & (state == 1) & ~mH
+        act[mE] = _I + 1
+        eopen = (cell >> 2) & 1
+        # F state: consume ref base (D), move to (i, c-1)
+        mF = inb & (state == 2) & ~mH
+        act[mF] = _D + 1
+        fopen = (cell >> 3) & 1
+        # apply moves
+        i[diag] -= 1
+        i[mE] -= 1
+        c[mE] += 1
+        c[mF] -= 1
+        state[mE & (eopen == 1)] = 0
+        state[mF & (fopen == 1)] = 0
+        ops[:, step] = act
+        step += 1
+    # start coords: after traceback, (i, c) sits one move above the first
+    # aligned cell for diag/E (i already decremented) -> read start = i + 1
+    i_lo = i + 1
+    j_lo = i + c + 1 - off
+    if mode == "global":
+        lead_del = np.where((i < 0) & (c - off > 0), c - off, 0)
+        j_lo = j_lo - lead_del  # leading dels start at ref 0 of the segment
+    else:
+        lead_del = np.zeros(Bt, dtype=np.int64)
+    return ops[:, :step], i_lo, j_lo, i_hi, j_hi, lead_del
+
+
+def runs_to_cigar(op_row: np.ndarray, i_lo: int, i_hi: int, qlen: int
+                  ) -> np.ndarray:
+    """Convert one read's reversed op stream to a CIGAR uint32 array with
+    soft clips."""
+    ops = op_row[op_row > 0] - 1
+    ops = ops[::-1]  # traceback emitted end->start
+    cig = []
+    if i_lo > 0:
+        cig.append((int(i_lo) << 4) | _S)
+    if ops.size:
+        change = np.flatnonzero(np.diff(ops) != 0)
+        bounds = np.concatenate([[-1], change, [ops.size - 1]])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            cig.append((int(b - a) << 4) | int(ops[a + 1]))
+    tail = qlen - 1 - i_hi
+    if tail > 0:
+        cig.append((int(tail) << 4) | _S)
+    return np.array(cig, dtype=np.uint32)

@@ -1,0 +1,271 @@
+"""Long-read mapper: minimizer anchors -> rolling-median diagonal filter ->
+LIS chain -> batched global banded alignment of inter-anchor segments
+(the role of minimap2 map-ont/map-pb in source/nextPolish:208-216).
+
+Anchors are exact k-mer matches, so the final CIGAR is assembled from anchor
+match-runs plus globally-aligned gap segments; read ends beyond the terminal
+anchors are soft-clipped.
+"""
+from __future__ import annotations
+
+import bisect
+
+import numpy as np
+
+from ..io import bam as bamio
+from .extend import band_align, traceback_batch
+from .index import GenomeIndex
+from .mapper import NIB_OF_CODE, _finalize, _revcomp_codes
+from .minimizer import kmer_hashes, seq_codes
+
+_M, _I, _D, _S = 0, 1, 2, 4
+
+# segment buckets: (max qlen, band)
+_BUCKETS = [(16, 32), (32, 32), (64, 64), (128, 64), (256, 128), (512, 128),
+            (1024, 256), (2048, 256)]
+
+
+def _anchors(idx: GenomeIndex, codes: np.ndarray, k: int):
+    """All (qpos, rpos, orientation) minimizer matches for one read."""
+    h, st = kmer_hashes(codes, k)
+    ok = h != np.uint64(0xFFFFFFFFFFFFFFFF)
+    qpos = np.flatnonzero(ok)
+    if not qpos.size:
+        return (np.empty(0, np.int64),) * 3
+    hq = h[qpos]
+    lo, hi = idx.lookup(hq)
+    n = hi - lo
+    tot = int(n.sum())
+    if not tot:
+        return (np.empty(0, np.int64),) * 3
+    rep = np.repeat(np.arange(qpos.size), n)
+    flat = np.repeat(lo, n) + (np.arange(tot) - np.repeat(np.cumsum(n) - n, n))
+    rpos = idx.positions[flat]
+    same = idx.strands[flat] == st[qpos][rep]
+    return qpos[rep].astype(np.int64), rpos.astype(np.int64), same
+
+
+def _chain(qp: np.ndarray, rp: np.ndarray, L: int, k: int):
+    """Rolling-median diagonal filter + LIS -> colinear anchor chain."""
+    if qp.size < 4:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.argsort(qp, kind="stable")
+    qp, rp = qp[order], rp[order]
+    diag = rp - qp
+    wnd = min(21, qp.size)
+    if qp.size >= wnd:
+        med = np.median(
+            np.lib.stride_tricks.sliding_window_view(diag, wnd), axis=1
+        )
+        pad = wnd // 2
+        full = np.concatenate([np.full(pad, med[0]), med,
+                               np.full(diag.size - med.size - pad, med[-1])])
+    else:
+        full = np.full(diag.size, np.median(diag))
+    keep = np.abs(diag - full) < 500
+    qp, rp = qp[keep], rp[keep]
+    if not qp.size:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # LIS on rp (qp already nondecreasing; require strict increase in both)
+    tails: list[int] = []
+    tail_idx: list[int] = []
+    prev = np.full(qp.size, -1, dtype=np.int64)
+    last_q = -1
+    for i in range(qp.size):
+        r = int(rp[i])
+        j = bisect.bisect_left(tails, r)
+        if j == len(tails):
+            tails.append(r)
+            tail_idx.append(i)
+        else:
+            tails[j] = r
+            tail_idx[j] = i
+        prev[i] = tail_idx[j - 1] if j > 0 else -1
+    # reconstruct
+    out = []
+    i = tail_idx[len(tails) - 1]
+    while i >= 0:
+        out.append(i)
+        i = int(prev[i])
+    out.reverse()
+    sel = np.array(out, dtype=np.int64)
+    return qp[sel], rp[sel]
+
+
+def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
+                   k: int = 15, w: int = 10, min_chain: int = 8,
+                   match=2, mismatch=4, gapo=4, gape=2):
+    """Map long reads; returns BAM-style record dicts (unpaired)."""
+    n = len(seqs)
+    chains = [None] * n  # (strand, qp, rp, codes_oriented)
+    for i, s in enumerate(seqs):
+        codes = seq_codes(s)
+        qpos, rpos, same = _anchors(idx, codes, k)
+        L = codes.size
+        best = None
+        for strand in (0, 1):
+            m = same if strand == 0 else ~same
+            if strand == 0:
+                qp = qpos[m]
+            else:
+                qp = L - k - qpos[m]
+            cq, cr = _chain(qp, rpos[m], L, k)
+            if best is None or cq.size > best[1].size:
+                best = (strand, cq, cr)
+        strand, cq, cr = best
+        if cq.size >= min_chain:
+            oriented = codes if strand == 0 else _revcomp_codes(codes)
+            chains[i] = (strand, cq, cr, oriented)
+
+    # build per-read op skeletons + segment jobs
+    skels = [None] * n  # list of ('M'|'I'|'D', len) or ('SEG', job_id)
+    jobs = []  # (read, qa, qlen, ra, tlen)
+    read_pos = [0] * n
+    for i in range(n):
+        if chains[i] is None:
+            continue
+        strand, cq, cr, codes = chains[i]
+        sk = []
+        # merge anchors into match runs and gap segments
+        qa, ra = int(cq[0]), int(cr[0])
+        read_pos[i] = ra
+        cur_m = k
+        qe, re_ = qa + k, ra + k  # aligned-through coordinates
+        for t in range(1, cq.size):
+            q1, r1 = int(cq[t]), int(cr[t])
+            gq, gr = q1 - qe, r1 - re_  # gap (or overlap) to next anchor
+            if gq == gr:
+                if gq + k > 0:  # colinear (possibly overlapping): extend run
+                    cur_m += gq + k
+                    qe, re_ = q1 + k, r1 + k
+                continue
+            if gq < 0 or gr < 0:
+                continue  # conflicting overlap: drop anchor
+            sk.append((_M, cur_m))
+            if gq == 0:
+                sk.append((_D, gr))
+            elif gr == 0:
+                sk.append((_I, gq))
+            else:
+                bucket = _pick_bucket(gq, gr)
+                if bucket is None:
+                    sk.append((_I, gq))
+                    sk.append((_D, gr))
+                else:
+                    jobs.append((i, qe, gq, re_, gr, bucket))
+                    sk.append(("SEG", len(jobs) - 1))
+            cur_m = k
+            qe, re_ = q1 + k, r1 + k
+        sk.append((_M, cur_m))
+        skels[i] = (sk, qa, qe, ra, re_)
+
+    seg_ops = _run_segments(idx, jobs, chains, match, mismatch, gapo, gape)
+
+    # assemble records
+    records = [None] * n
+    for i in range(n):
+        if skels[i] is None:
+            continue
+        sk, qa, qe, ra, re_ = skels[i]
+        strand, cq, cr, codes = chains[i]
+        runs = []
+
+        def add(op, ln):
+            if ln <= 0:
+                return
+            if runs and runs[-1][0] == op:
+                runs[-1][1] += ln
+            else:
+                runs.append([op, ln])
+
+        ok = True
+        for op, v in sk:
+            if op == "JOIN":
+                continue
+            if op == "SEG":
+                res = seg_ops.get(v)
+                if res is None:
+                    ok = False
+                    break
+                for o, ln in res:
+                    add(o, ln)
+            else:
+                add(op, v)
+        if not ok:
+            continue
+        L = codes.size
+        cig = []
+        if qa > 0:
+            cig.append((qa << 4) | _S)
+        cig.extend((ln << 4) | op for op, ln in runs)
+        if L - qe > 0:
+            cig.append(((L - qe) << 4) | _S)
+        tid, pos = idx.global_to_contig(np.array([ra]))
+        tid2, _ = idx.global_to_contig(np.array([re_ - 1]))
+        if tid[0] != tid2[0]:
+            continue
+        mapq = min(60, int(cq.size) // 2)
+        records[i] = dict(ref_id=int(tid[0]), pos=int(pos[0]),
+                          strand=strand, mapq=mapq,
+                          cigar=np.array(cig, dtype=np.uint32), score=0)
+    return _finalize(records, idx, seqs, names, None, False)
+
+
+def _pick_bucket(gq: int, gr: int):
+    for bi, (cap, band) in enumerate(_BUCKETS):
+        if gq <= cap and abs(gq - gr) < band // 2 - 4 and gr <= cap + band // 2 - 4:
+            return bi
+    return None
+
+
+def _run_segments(idx: GenomeIndex, jobs, chains, match, mismatch, gapo, gape):
+    """Batch global alignments per bucket; returns job_id -> [(op, len)]."""
+    out = {}
+    by_bucket = {}
+    for jid, (ri, qa, gq, ra, gr, b) in enumerate(jobs):
+        by_bucket.setdefault(b, []).append(jid)
+    for b, jids in by_bucket.items():
+        cap, band = _BUCKETS[b]
+        off = band // 2
+        W = cap + band
+        Bt = len(jids)
+        q = np.full((Bt, cap), 4, dtype=np.uint8)
+        t = np.full((Bt, W), 4, dtype=np.uint8)
+        qlen = np.zeros(Bt, dtype=np.int32)
+        tlen = np.zeros(Bt, dtype=np.int32)
+        for bi, jid in enumerate(jids):
+            ri, qa, gq, ra, gr, _ = jobs[jid]
+            codes = chains[ri][3]
+            q[bi, :gq] = codes[qa : qa + gq]
+            # t[x] = ref[ra + x - off]
+            lo = max(ra - off, 0)
+            hi = min(ra + gr, idx.codes.size)
+            t[bi, lo - (ra - off) : hi - (ra - off)] = idx.codes[lo:hi]
+            # mask anything beyond the segment as invalid
+            t[bi, off + gr :] = 4
+            qlen[bi] = gq
+            tlen[bi] = gr
+        tb, sc, ei, ec = band_align(q, t, qlen, tlen, match=match,
+                                    mismatch=mismatch, gapo=gapo, gape=gape,
+                                    mode="global")
+        ops, i_lo, j_lo, i_hi, j_hi, lead = traceback_batch(
+            tb, ei, ec, qlen, mode="global"
+        )
+        for bi, jid in enumerate(jids):
+            ri, qa, gq, ra, gr, _ = jobs[jid]
+            if int(i_lo[bi]) != 0 or int(i_hi[bi]) != gq - 1:
+                out[jid] = None
+                continue
+            row = ops[bi]
+            o = row[row > 0] - 1
+            o = o[::-1]
+            runs = []
+            if lead[bi] > 0:
+                runs.append((_D, int(lead[bi])))
+            if o.size:
+                change = np.flatnonzero(np.diff(o) != 0)
+                bounds = np.concatenate([[-1], change, [o.size - 1]])
+                for a, bnd in zip(bounds[:-1], bounds[1:]):
+                    runs.append((int(o[a + 1]), int(bnd - a)))
+            out[jid] = runs
+    return out

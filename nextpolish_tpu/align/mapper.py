@@ -1,0 +1,271 @@
+"""Short-read mapper: minimizer seeding -> diagonal voting -> batched banded
+extension -> AlnBatch (the role of `bwa mem` in source/nextPolish:199-206).
+
+Pairing: after single-end placement, mate fields/flags/tlen are filled from
+the two mates' primary alignments (`-p` interleaved semantics: reads i and
+i+1 are mates when paired=True).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..io import bam as bamio
+from ..io.bam import AlnBatch, BamHeader
+from .extend import band_align, runs_to_cigar, traceback_batch
+from .index import GenomeIndex
+from .minimizer import kmer_hashes, seq_codes
+
+_RC = np.array([3, 2, 1, 0, 4], dtype=np.uint8)
+
+NIB_OF_CODE = np.array([1, 2, 4, 8, 15], dtype=np.uint8)  # A C G T N
+
+
+def _revcomp_codes(codes: np.ndarray) -> np.ndarray:
+    return _RC[codes[::-1]]
+
+
+def seed_read(idx: GenomeIndex, codes: np.ndarray):
+    """All minimizer-compatible seed hits: (diag, strand) arrays.
+
+    diag is the implied global ref start of the read under each hit.
+    """
+    k = idx.k
+    h, st = kmer_hashes(codes, k)
+    ok = h != np.uint64(0xFFFFFFFFFFFFFFFF)
+    qpos = np.flatnonzero(ok)
+    if not qpos.size:
+        return np.empty(0, np.int64), np.empty(0, np.uint8)
+    # subsample query kmers for speed: every 3rd position
+    qpos = qpos[::3]
+    hq = h[qpos]
+    lo, hi = idx.lookup(hq)
+    n_hits = hi - lo
+    tot = int(n_hits.sum())
+    if not tot:
+        return np.empty(0, np.int64), np.empty(0, np.uint8)
+    rep = np.repeat(np.arange(qpos.size), n_hits)
+    flat = np.repeat(lo, n_hits) + (
+        np.arange(tot) - np.repeat(np.cumsum(n_hits) - n_hits, n_hits)
+    )
+    rpos = idx.positions[flat]
+    rstrand = idx.strands[flat]
+    qstrand = st[qpos][rep]
+    qp = qpos[rep]
+    same = rstrand == qstrand
+    L = codes.size
+    diag = np.where(same, rpos - qp, rpos - (L - k - qp))
+    strand = (~same).astype(np.uint8)
+    return diag, strand
+
+
+def _vote(diag: np.ndarray, strand: np.ndarray, tol: int = 8):
+    """Pick the best (diag, strand) cluster (adjacent diag bins merged);
+    returns (best_diag, best_strand, votes, second_votes)."""
+    if not diag.size:
+        return 0, 0, 0, 0
+    key = (diag // tol) * 2 + strand.astype(np.int64)
+    uniq, counts = np.unique(key, return_counts=True)
+    # merged count of bin + same-strand neighbor bins
+    merged = counts.copy()
+    for d in (-2, 2):
+        j = np.searchsorted(uniq, uniq + d)
+        ok = (j < uniq.size)
+        ok &= uniq[np.minimum(j, uniq.size - 1)] == uniq + d
+        merged[ok] += counts[j[ok]]
+    order = np.argsort(-merged, kind="stable")
+    bk = int(uniq[order[0]])
+    v1 = int(merged[order[0]])
+    # second best from a non-adjacent cluster
+    v2 = 0
+    for o in order[1:]:
+        if abs(int(uniq[o]) - bk) > 2 or (int(uniq[o]) & 1) != (bk & 1):
+            v2 = int(merged[o])
+            break
+    sel = (key == bk) | (key == bk - 2) | (key == bk + 2)
+    best_diag = int(np.median(diag[sel]))
+    return best_diag, int(bk & 1), v1, v2
+
+
+def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
+                    quals: list | None = None, paired: bool = False,
+                    band: int = 32, min_score: int = 30,
+                    batch_size: int = 8192):
+    """Map reads; returns a list of BAM-style record dicts (sorted later).
+
+    seqs: list of bytes (read sequences).  With paired=True, consecutive
+    reads are mates (interleaved -p convention).
+    """
+    n = len(seqs)
+    placements = []  # (diag, strand, v1, v2) per read
+    codes_fwd = [seq_codes(s) for s in seqs]
+    for i in range(n):
+        d, s, v1, v2 = _vote(*seed_read(idx, codes_fwd[i]))
+        placements.append((d, s, v1, v2))
+
+    records = [None] * n
+    # batch the extensions
+    todo = [i for i in range(n) if placements[i][2] > 0]
+    R = max((len(s) for s in seqs), default=0)
+    W = R + band
+    for lo in range(0, len(todo), batch_size):
+        sub = todo[lo : lo + batch_size]
+        Bt = len(sub)
+        q = np.full((Bt, R), 4, dtype=np.uint8)
+        t = np.full((Bt, W), 4, dtype=np.uint8)
+        qlen = np.zeros(Bt, dtype=np.int32)
+        tlen = np.full(Bt, W, dtype=np.int32)
+        tstart = np.zeros(Bt, dtype=np.int64)
+        for b, i in enumerate(sub):
+            d, s, _, _ = placements[i]
+            c = codes_fwd[i] if s == 0 else _revcomp_codes(codes_fwd[i])
+            q[b, : c.size] = c
+            qlen[b] = c.size
+            ts = d - band // 2
+            tstart[b] = ts
+            lo_c = max(ts, 0)
+            hi_c = min(ts + W, idx.codes.size)
+            if hi_c > lo_c:
+                t[b, lo_c - ts : hi_c - ts] = idx.codes[lo_c:hi_c]
+        tb, score, ei, ec = band_align(q, t, qlen, tlen)
+        ops, i_lo, j_lo, i_hi, j_hi, _ = traceback_batch(tb, ei, ec, qlen)
+        for b, i in enumerate(sub):
+            if score[b] < min_score:
+                continue
+            d, s, v1, v2 = placements[i]
+            cig = runs_to_cigar(ops[b], int(i_lo[b]), int(i_hi[b]),
+                                int(qlen[b]))
+            gpos = int(tstart[b] + j_lo[b])
+            tid, pos = idx.global_to_contig(np.array([gpos]))
+            # reject if the window crossed a contig boundary
+            end_g = int(tstart[b] + j_hi[b])
+            tid2, _ = idx.global_to_contig(np.array([end_g]))
+            if tid[0] != tid2[0] or pos[0] < 0:
+                continue
+            mapq = _mapq(v1, v2, int(score[b]), int(qlen[b]))
+            records[i] = dict(
+                ref_id=int(tid[0]),
+                pos=int(pos[0]),
+                strand=s,
+                mapq=mapq,
+                cigar=cig,
+                score=int(score[b]),
+            )
+    return _finalize(records, idx, seqs, names, quals, paired)
+
+
+def _mapq(v1: int, v2: int, score: int, qlen: int) -> int:
+    """bwa-flavored mapq: margin between best and second seed cluster,
+    scaled by alignment identity."""
+    if v1 <= 0:
+        return 0
+    frac = 1.0 - (v2 / v1)
+    ident = max(min(score / max(qlen, 1), 1.0), 0.0)
+    q = int(60 * frac * ident)
+    return max(0, min(q, 60))
+
+
+def _finalize(records, idx, seqs, names, quals, paired):
+    """Fill flags/mate/tlen and build BAM record dicts."""
+    n = len(seqs)
+    out = []
+    for i in range(n):
+        rec = records[i]
+        name = names[i] if names else f"read{i}"
+        if paired:
+            mate = i + 1 if i % 2 == 0 else i - 1
+            mrec = records[mate] if 0 <= mate < n else None
+            name = name.rsplit("/", 1)[0]
+        else:
+            mrec = None
+        flag = 0
+        if paired:
+            flag |= bamio.FPAIRED | (bamio.FREAD1 if i % 2 == 0 else bamio.FREAD2)
+        codes = seq_codes(seqs[i])
+        if rec is None:
+            flag |= bamio.FUNMAP
+            out.append(dict(name=name, flag=flag, tid=-1, pos=-1, mapq=0,
+                            cigar=np.empty(0, np.uint32),
+                            seq_nib=NIB_OF_CODE[codes],
+                            qual=_qual(quals, i, codes.size),
+                            mtid=-1, mpos=-1, tlen=0))
+            continue
+        if rec["strand"]:
+            flag |= bamio.FREVERSE
+            codes = _revcomp_codes(codes)
+            qual = _qual(quals, i, codes.size)[::-1].copy()
+        else:
+            qual = _qual(quals, i, codes.size)
+        mtid, mpos, tlen = -1, -1, 0
+        if paired:
+            if mrec is None:
+                flag |= bamio.FMUNMAP
+            else:
+                mtid, mpos = mrec["ref_id"], mrec["pos"]
+                if mrec["strand"]:
+                    flag |= bamio.FMREVERSE
+                if mtid == rec["ref_id"] and mrec["strand"] != rec["strand"]:
+                    span_l = min(rec["pos"], mpos)
+                    ref_len = int(
+                        ((rec["cigar"] >> 4)
+                         * bamio.CONSUMES_R[rec["cigar"] & 0xF]).sum()
+                    )
+                    mref_len = int(
+                        ((mrec["cigar"] >> 4)
+                         * bamio.CONSUMES_R[mrec["cigar"] & 0xF]).sum()
+                    )
+                    span_r = max(rec["pos"] + ref_len, mpos + mref_len)
+                    t = span_r - span_l
+                    if t < 2000:
+                        flag |= bamio.FPROPER
+                        tlen = t if rec["pos"] <= mpos else -t
+        out.append(dict(name=name, flag=flag, tid=rec["ref_id"],
+                        pos=rec["pos"], mapq=rec["mapq"], cigar=rec["cigar"],
+                        seq_nib=NIB_OF_CODE[codes], qual=qual,
+                        mtid=mtid, mpos=mpos, tlen=tlen))
+    return out
+
+
+def _qual(quals, i, n):
+    if quals and quals[i] is not None:
+        q = np.frombuffer(quals[i], dtype=np.uint8)
+        if q.size == n:
+            return (q - 33).astype(np.uint8)
+    return np.full(n, 30, np.uint8)
+
+
+def records_to_batch(records, idx: GenomeIndex) -> AlnBatch:
+    """Sort records by (tid, pos) and materialize an AlnBatch (the in-memory
+    analog of `samtools sort` + read_bam)."""
+    header = BamHeader("", list(idx.names), [int(x) for x in idx.lengths])
+    mapped = sorted(
+        (r for r in records if r["tid"] >= 0),
+        key=lambda r: (r["tid"], r["pos"]),
+    )
+    n = len(mapped)
+    tid = np.array([r["tid"] for r in mapped], dtype=np.int32)
+    pos = np.array([r["pos"] for r in mapped], dtype=np.int32)
+    mapq = np.array([r["mapq"] for r in mapped], dtype=np.uint8)
+    flag = np.array([r["flag"] for r in mapped], dtype=np.uint16)
+    tlen = np.array([r["tlen"] for r in mapped], dtype=np.int32)
+    lqseq = np.array([len(r["seq_nib"]) for r in mapped], dtype=np.int32)
+    cigar = (np.concatenate([r["cigar"] for r in mapped])
+             if n else np.empty(0, np.uint32))
+    cigar_len = np.array([len(r["cigar"]) for r in mapped], dtype=np.int32)
+    cigar_off = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(cigar_len[:-1], out=cigar_off[1:])
+    seq = (np.concatenate([r["seq_nib"] for r in mapped])
+           if n else np.empty(0, np.uint8))
+    seq_off = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(lqseq[:-1].astype(np.int64), out=seq_off[1:])
+    qual = (np.concatenate([r["qual"] for r in mapped])
+            if n else np.empty(0, np.uint8))
+    return AlnBatch(
+        header=header, tid=tid, pos=pos, mapq=mapq, flag=flag, tlen=tlen,
+        lqseq=lqseq, cigar=cigar, cigar_off=cigar_off, cigar_len=cigar_len,
+        seq=seq, seq_off=seq_off, qual=qual, qual_off=seq_off.copy(),
+        names=[r["name"] for r in mapped],
+        mtid=np.array([r["mtid"] for r in mapped], dtype=np.int32),
+        mpos=np.array([r["mpos"] for r in mapped], dtype=np.int32),
+    )

@@ -1,0 +1,139 @@
+"""Long-read mapper tests: global segment alignment and end-to-end mapping
+of noisy simulated long reads."""
+import numpy as np
+import pytest
+
+from nextpolish_tpu.align.extend import band_align, traceback_batch
+from nextpolish_tpu.align.index import GenomeIndex
+from nextpolish_tpu.align.longread import map_long_batch
+from nextpolish_tpu.align.mapper import records_to_batch
+from nextpolish_tpu.align.minimizer import seq_codes
+from nextpolish_tpu.io.bam import CONSUMES_Q, CONSUMES_R, cigar_to_string
+from util_sim import rand_seq
+
+_COMP = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def rc(s):
+    return s.translate(_COMP)[::-1]
+
+
+def _noisy(rng, s: bytes, sub=0.03, ins=0.03, dele=0.03) -> bytes:
+    out = bytearray()
+    for ch in s:
+        r = rng.random()
+        if r < dele:
+            continue
+        if r < dele + ins:
+            out.append(b"ACGT"[int(rng.integers(0, 4))])
+        if r < dele + ins + sub:
+            out.append(b"ACGT"[int(rng.integers(0, 4))])
+        else:
+            out.append(ch)
+    return bytes(out)
+
+
+def test_global_band_align():
+    rng = np.random.default_rng(0)
+    tseq = rand_seq(rng, 100)
+    # query: target with a 3bp deletion
+    qseq = tseq[:40] + tseq[43:]
+    B = 32
+    off = B // 2
+    q = np.full((1, 128), 4, np.uint8)
+    q[0, :97] = seq_codes(qseq)
+    t = np.full((1, 128 + B), 4, np.uint8)
+    t[0, off : off + 100] = seq_codes(tseq)
+    tb, sc, ei, ec = band_align(q, t, np.array([97]), np.array([100]),
+                                mode="global")
+    ops, i_lo, j_lo, i_hi, j_hi, lead = traceback_batch(tb, ei, ec,
+                                                        np.array([97]),
+                                                        mode="global")
+    assert int(i_lo[0]) == 0 and int(i_hi[0]) == 96
+    assert int(j_hi[0]) == 99
+    o = ops[0][ops[0] > 0] - 1
+    assert (o == 2).sum() == 3  # exactly 3 deletions
+    assert (o == 1).sum() == 0
+
+
+def test_global_band_align_insertion():
+    rng = np.random.default_rng(1)
+    tseq = rand_seq(rng, 80)
+    qseq = tseq[:30] + b"ACGT" + tseq[30:]
+    B = 32
+    off = B // 2
+    q = np.full((1, 128), 4, np.uint8)
+    q[0, :84] = seq_codes(qseq)
+    t = np.full((1, 128 + B), 4, np.uint8)
+    t[0, off : off + 80] = seq_codes(tseq)
+    tb, sc, ei, ec = band_align(q, t, np.array([84]), np.array([80]),
+                                mode="global")
+    ops, i_lo, j_lo, i_hi, j_hi, lead = traceback_batch(tb, ei, ec,
+                                                        np.array([84]),
+                                                        mode="global")
+    o = ops[0][ops[0] > 0] - 1
+    assert (o == 1).sum() == 4
+    assert (o == 2).sum() == 0
+
+
+@pytest.fixture(scope="module")
+def lr_genome():
+    rng = np.random.default_rng(5)
+    g = rand_seq(rng, 60000)
+    idx = GenomeIndex.build([("ctg", g)], k=15, w=10)
+    return g, idx
+
+
+def _check_cigar_consistency(rec, read_len):
+    cig = rec["cigar"]
+    ql = int(((cig >> 4) * CONSUMES_Q[cig & 0xF]).sum())
+    assert ql == read_len, f"cigar consumes {ql} != {read_len}"
+
+
+def test_map_long_clean(lr_genome):
+    g, idx = lr_genome
+    rng = np.random.default_rng(6)
+    reads = [g[1000:11000], rc(g[20000:35000])]
+    recs = map_long_batch(idx, reads)
+    assert recs[0]["tid"] == 0 and abs(recs[0]["pos"] - 1000) < 20
+    assert not (recs[0]["flag"] & 16)
+    assert recs[1]["tid"] == 0 and abs(recs[1]["pos"] - 20000) < 20
+    assert recs[1]["flag"] & 16
+    for rec, r in zip(recs, reads):
+        _check_cigar_consistency(rec, len(r))
+
+
+def test_map_long_noisy(lr_genome):
+    g, idx = lr_genome
+    rng = np.random.default_rng(7)
+    n_ok = 0
+    reads, truth = [], []
+    for i in range(20):
+        p = int(rng.integers(0, 45000))
+        ln = int(rng.integers(5000, 12000))
+        r = _noisy(rng, g[p : p + ln])
+        if i % 2:
+            r = rc(r)
+        reads.append(r)
+        truth.append(p)
+    recs = map_long_batch(idx, reads)
+    for rec, p, r in zip(recs, truth, reads):
+        if rec["tid"] == 0 and abs(rec["pos"] - p) < 200:
+            n_ok += 1
+            _check_cigar_consistency(rec, len(r))
+    assert n_ok >= 18, n_ok
+
+
+def test_long_batch_filters(lr_genome):
+    """Mapped long reads pass the lgs clip-ratio filter used by the engines."""
+    from nextpolish_tpu.ops.pileup import filter_lgs
+
+    g, idx = lr_genome
+    rng = np.random.default_rng(8)
+    reads = [_noisy(rng, g[p : p + 8000])
+             for p in (2000, 9000, 30000)]
+    recs = map_long_batch(idx, reads)
+    batch = records_to_batch(recs, idx)
+    assert len(batch) == 3
+    lv = filter_lgs(batch, 0.4)
+    assert (lv == 1).all()
