@@ -1,0 +1,91 @@
+"""Benchmark: task-1 (score_chain) polishing throughput on one chip.
+
+Simulates a 400 kb contig at 40x PE150-like coverage with 1% read error,
+pre-aligned by construction (the metric is the polishing engine: host pileup
+expansion + device tropical chain DP + correction emit — the compute path
+that replaces lib/contig.c's per-base C loops).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against an estimated 30,000 reads/s for the reference
+NextPolish task-1 on a 32-core CPU (no wall-clock tables exist in the
+reference repo — BASELINE.md; estimate derived from the paper's CPU-time
+claims for 50x human data).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_S_32CORE = 30_000.0
+
+
+def make_case(rng, L=400_000, depth=40, read_len=150, err=0.01):
+    from nextpolish_tpu.io.bam import BamHeader, seq_to_nib
+
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    true = rng.choice(bases, L).tobytes()
+    n_reads = depth * L // read_len
+    starts = rng.integers(0, L - read_len, n_reads)
+    starts.sort()
+    recs = []
+    cigar = np.array([(read_len << 4) | 0], dtype=np.uint32)
+    seqs = np.frombuffer(true, dtype=np.uint8)[
+        starts[:, None] + np.arange(read_len)[None, :]
+    ].copy()
+    n_err = int(err * seqs.size)
+    er = rng.integers(0, n_reads, n_err)
+    ec = rng.integers(0, read_len, n_err)
+    seqs[er, ec] = rng.choice(bases, n_err)
+    from nextpolish_tpu.io.fasta import ASCII_TO_NIB
+
+    nib = ASCII_TO_NIB[seqs]
+    # build an AlnBatch directly (column-wise)
+    from nextpolish_tpu.io.bam import AlnBatch
+
+    header = BamHeader("", ["ctg"], [L])
+    n = n_reads
+    batch = AlnBatch(
+        header=header,
+        tid=np.zeros(n, np.int32),
+        pos=starts.astype(np.int32),
+        mapq=np.full(n, 60, np.uint8),
+        flag=np.zeros(n, np.uint16),
+        tlen=np.where(np.arange(n) % 2 == 0, 300, -300).astype(np.int32),
+        lqseq=np.full(n, read_len, np.int32),
+        cigar=np.tile(cigar, n),
+        cigar_off=np.arange(n, dtype=np.int64),
+        cigar_len=np.ones(n, np.int32),
+        seq=nib.reshape(-1),
+        seq_off=(np.arange(n, dtype=np.int64) * read_len),
+        qual=np.full(n * read_len, 35, np.uint8),
+        qual_off=(np.arange(n, dtype=np.int64) * read_len),
+    )
+    return true, batch, n_reads
+
+
+def main():
+    rng = np.random.default_rng(0)
+    true, batch, n_reads = make_case(rng)
+    from nextpolish_tpu.models.score_chain import AlgoConfig, score_chain_contig
+
+    cfg = AlgoConfig()
+    # warm-up on a small slice to amortize compilation out of the measurement
+    _ = score_chain_contig("ctg", true[:40_000],
+                           batch.select(batch.pos < 38_000), cfg)
+    t0 = time.time()
+    polished = score_chain_contig("ctg", true, batch, cfg)
+    dt = time.time() - t0
+    assert abs(len(polished) - len(true)) < len(true) * 0.01
+    reads_per_s = n_reads / dt
+    print(json.dumps({
+        "metric": "task1_polish_reads_per_s_per_chip",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S_32CORE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

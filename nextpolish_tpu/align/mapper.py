@@ -86,6 +86,112 @@ def _vote(diag: np.ndarray, strand: np.ndarray, tol: int = 8):
     return best_diag, int(bk & 1), v1, v2
 
 
+def seed_votes_batch(idx: GenomeIndex, codes_mat: np.ndarray,
+                     lens: np.ndarray, subsample: int = 3, tol: int = 8):
+    """Vectorized seeding for a whole batch of (padded) reads.
+
+    Returns per-read (diag, strand, v1, v2) arrays: the winning seed
+    cluster's global ref start, orientation, merged vote count, and the
+    best competing non-adjacent cluster's count.
+    """
+    from .minimizer import _mix64
+
+    N, R = codes_mat.shape
+    k = idx.k
+    nk = R - k + 1
+    c = codes_mat.astype(np.uint64)
+    valid = codes_mat < 4
+    fwd = np.zeros((N, nk), dtype=np.uint64)
+    rev = np.zeros((N, nk), dtype=np.uint64)
+    okay = np.ones((N, nk), dtype=bool)
+    for i in range(k):
+        fwd = (fwd << np.uint64(2)) | c[:, i : i + nk]
+        rev |= (np.uint64(3) - c[:, i : i + nk]) << np.uint64(2 * i)
+        okay &= valid[:, i : i + nk]
+    okay &= np.arange(nk)[None, :] + k <= lens[:, None]
+    qstrand = (rev < fwd).astype(np.uint8)
+    h = _mix64(np.minimum(fwd, rev))
+    # subsample query positions
+    cols = np.arange(0, nk, subsample)
+    h = h[:, cols]
+    qstrand = qstrand[:, cols]
+    okay = okay[:, cols]
+    qpos_mat = np.broadcast_to(cols, h.shape)
+
+    flat_ok = okay.ravel()
+    hq = h.ravel()[flat_ok]
+    qp = qpos_mat.ravel()[flat_ok]
+    qs = qstrand.ravel()[flat_ok]
+    rid = np.broadcast_to(np.arange(N)[:, None], h.shape).ravel()[flat_ok]
+
+    lo, hi = idx.lookup(hq)
+    nh = hi - lo
+    tot = int(nh.sum())
+    out = np.zeros((N, 4), dtype=np.int64)
+    if not tot:
+        return out
+    rep = np.repeat(np.arange(hq.size), nh)
+    flat = np.repeat(lo, nh) + (
+        np.arange(tot) - np.repeat(np.cumsum(nh) - nh, nh)
+    )
+    rpos = idx.positions[flat]
+    same = idx.strands[flat] == qs[rep]
+    hr = rid[rep]
+    hqp = qp[rep]
+    L = lens[hr]
+    diag = np.where(same, rpos - hqp, rpos - (L - k - hqp))
+    strand = (~same).astype(np.int64)
+
+    bin_ = diag // tol
+    key = (hr.astype(np.int64) << 34) | (strand << 33) | (bin_ + (1 << 31))
+    ukey, counts = np.unique(key, return_counts=True)
+    merged = counts.copy()
+    for d in (-1, 1):
+        j = np.searchsorted(ukey, ukey + d)
+        ok2 = j < ukey.size
+        ok2 &= ukey[np.minimum(j, ukey.size - 1)] == ukey + d
+        # neighbor must be same read+strand (high bits equal)
+        ok2 &= (ukey >> 33) == ((ukey + d) >> 33)
+        merged[ok2] += counts[j[ok2]]
+    # per-read best by merged count (stable: first max wins)
+    krid = (ukey >> 34).astype(np.int64)
+    order = np.lexsort((-merged, krid))
+    ks, km = ukey[order], merged[order]
+    kr = krid[order]
+    first = np.ones(kr.size, dtype=bool)
+    first[1:] = kr[1:] != kr[:-1]
+    best_key = np.zeros(N, dtype=np.int64)
+    best_cnt = np.zeros(N, dtype=np.int64)
+    best_key[kr[first]] = ks[first]
+    best_cnt[kr[first]] = km[first]
+    # second best: next entry for the read whose bin differs by > 1
+    second = np.zeros(N, dtype=np.int64)
+    fidx = np.flatnonzero(first)
+    bounds = np.concatenate([fidx, [kr.size]])
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        r = kr[a]
+        bk = ks[a]
+        for t in range(a + 1, b):
+            if abs(int(ks[t]) - int(bk)) > 1 or ((ks[t] >> 33) != (bk >> 33)):
+                second[r] = km[t]
+                break
+    # mean diag over the winning (and adjacent) bins
+    hit_best = (key == best_key[hr]) | (key == best_key[hr] - 1) | (
+        key == best_key[hr] + 1
+    )
+    # adjacent keys must share read+strand bits
+    hit_best &= (key >> 33) == (best_key[hr] >> 33)
+    sums = np.zeros(N, dtype=np.int64)
+    cnts = np.zeros(N, dtype=np.int64)
+    np.add.at(sums, hr[hit_best], diag[hit_best])
+    np.add.at(cnts, hr[hit_best], 1)
+    out[:, 0] = sums // np.maximum(cnts, 1)
+    out[:, 1] = (best_key >> 33) & 1
+    out[:, 2] = best_cnt
+    out[:, 3] = second
+    return out
+
+
 def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
                     quals: list | None = None, paired: bool = False,
                     band: int = 32, min_score: int = 30,
@@ -96,11 +202,15 @@ def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
     reads are mates (interleaved -p convention).
     """
     n = len(seqs)
-    placements = []  # (diag, strand, v1, v2) per read
     codes_fwd = [seq_codes(s) for s in seqs]
-    for i in range(n):
-        d, s, v1, v2 = _vote(*seed_read(idx, codes_fwd[i]))
-        placements.append((d, s, v1, v2))
+    R0 = max((len(s) for s in seqs), default=0)
+    mat = np.full((n, R0), 4, dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int64)
+    for i, cseq in enumerate(codes_fwd):
+        mat[i, : cseq.size] = cseq
+        lens[i] = cseq.size
+    votes = seed_votes_batch(idx, mat, lens)
+    placements = [tuple(votes[i]) for i in range(n)]
 
     records = [None] * n
     # batch the extensions

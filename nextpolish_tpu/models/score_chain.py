@@ -75,17 +75,9 @@ def _coverage_of(counts: np.ndarray, choice: np.ndarray) -> np.ndarray:
 
 def run_chain_region(counts: np.ndarray, refkmer: np.ndarray,
                      total: np.ndarray, n_dp: int, rate: float) -> np.ndarray:
-    L = pad_to_chunk(max(n_dp, 1))
-    c = np.zeros((L, K3), dtype=np.int32)
-    c[:n_dp] = counts[:n_dp]
-    rk = np.zeros(L, dtype=np.int32)
-    rk[:n_dp] = refkmer[:n_dp]
-    t = np.zeros(L, dtype=np.int32)
-    t[:n_dp] = total[:n_dp]
-    v = np.zeros(L, dtype=bool)
-    v[:n_dp] = True
-    choice, _ = chain_correct(c, rk, t, v, float(rate), init_state(counts[0]))
-    return np.asarray(choice)[:n_dp]
+    from ..ops.tropical import run_chain
+
+    return run_chain(counts, refkmer, total, n_dp, rate)
 
 
 def score_correct_region(state: ContigState, batch: AlnBatch,
@@ -114,13 +106,15 @@ def score_correct_region(state: ContigState, batch: AlnBatch,
             hi = lo + sub.n_cells_dp
             ex = pl.expand_reads(batch, levels, 1, sub, tid,
                                  cfg.trim_len_edge)
-            extra = np.bincount(ex.cells * K3 + ex.kmers(),
-                                minlength=sub.n_cells * K3
-                                ).reshape(sub.n_cells, K3)
-            counts = p.counts[lo:hi].astype(np.int64) + extra[: sub.n_cells_dp]
-            sub_p = pl.Pileup(sub,
-                              np.minimum(counts, 0xFFFF).astype(np.uint16),
-                              counts.sum(axis=1).astype(np.int32),
+            extra = pl.sparse_counts(ex.cells, ex.kmers(), sub.n_cells)
+            counts = np.minimum(
+                p.counts[lo:hi].astype(np.int32)
+                + extra[: sub.n_cells_dp], 0xFFFF
+            ).astype(np.uint16)
+            total = p.total[lo:hi] + np.bincount(
+                ex.cells, minlength=sub.n_cells
+            )[: sub.n_cells_dp].astype(np.int32)
+            sub_p = pl.Pileup(sub, counts, total,
                               p.refkmer[lo:hi], p.ref_sym[lo:hi])
             p.counts[lo:hi] = sub_p.counts
             p.total[lo:hi] = sub_p.total

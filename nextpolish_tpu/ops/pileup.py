@@ -428,6 +428,17 @@ def ref_stream(index: CellIndex, contig_nib: np.ndarray):
     return syms, kmers
 
 
+def sparse_counts(cells: np.ndarray, kmers: np.ndarray, n: int) -> np.ndarray:
+    """[n, K3] uint16 counts from (cell, kmer) event streams via sorted
+    unique keys (avoids the n*K3 int64 scratch a bincount would need)."""
+    counts = np.zeros((n, K3), dtype=np.uint16)
+    if len(cells):
+        keys = cells * K3 + kmers
+        uk, cn = np.unique(keys, return_counts=True)
+        counts.reshape(-1)[uk] = np.minimum(cn, np.iinfo(np.uint16).max)
+    return counts
+
+
 def build_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
                  index: CellIndex, tid: int, contig_nib: np.ndarray,
                  trim_len_edge: int = 2) -> Pileup:
@@ -435,15 +446,13 @@ def build_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
     ex = expand_reads(batch, levels, level, index, tid, trim_len_edge)
     ref_sym, refkmer = ref_stream(index, contig_nib)
     n = index.n_cells
-    flat = np.bincount(ex.cells * K3 + ex.kmers(), minlength=n * K3)
-    counts = flat.reshape(n, K3)
-    # contig-as-read contributes one count per DP cell
+    counts = sparse_counts(ex.cells, ex.kmers(), n)
+    # totals from the event stream (+1 per DP cell for the contig-as-read)
+    total = np.bincount(ex.cells, minlength=n).astype(np.int32)
     dp = np.arange(index.n_cells_dp)
     counts[dp, refkmer[:index.n_cells_dp]] += 1
-    total = counts.sum(axis=1, dtype=np.int64)
-    counts16 = np.minimum(counts, np.iinfo(np.uint16).max).astype(np.uint16)
-    return Pileup(index, counts16, total.astype(np.int32),
-                  refkmer.astype(np.int32), ref_sym)
+    total[: index.n_cells_dp] += 1
+    return Pileup(index, counts, total, refkmer.astype(np.int32), ref_sym)
 
 
 def add_reads_to_pileup(pileup: Pileup, batch: AlnBatch, levels: np.ndarray,
@@ -452,12 +461,12 @@ def add_reads_to_pileup(pileup: Pileup, batch: AlnBatch, levels: np.ndarray,
     (the no-depth rescue re-parse, lib/contig.c:721-733)."""
     ex = expand_reads(batch, levels, level, pileup.index, tid, trim_len_edge)
     n = pileup.index.n_cells
-    flat = np.bincount(ex.cells * K3 + ex.kmers(), minlength=n * K3)
-    counts = pileup.counts.astype(np.int64) + flat.reshape(n, K3)
-    total = counts.sum(axis=1)
-    return Pileup(pileup.index,
-                  np.minimum(counts, np.iinfo(np.uint16).max).astype(np.uint16),
-                  total.astype(np.int32), pileup.refkmer, pileup.ref_sym)
+    extra = sparse_counts(ex.cells, ex.kmers(), n)
+    counts = np.minimum(
+        pileup.counts.astype(np.int32) + extra, np.iinfo(np.uint16).max
+    ).astype(np.uint16)
+    total = pileup.total + np.bincount(ex.cells, minlength=n).astype(np.int32)
+    return Pileup(pileup.index, counts, total, pileup.refkmer, pileup.ref_sym)
 
 
 # ---------------------------------------------------------------------------

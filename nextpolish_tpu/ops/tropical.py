@@ -40,7 +40,7 @@ import numpy as np
 from .symbols import K3, S
 
 NEG = jnp.float32(-1e9)
-CHUNK = 256
+CHUNK = 128
 
 
 def tropical_compose(a, b):
@@ -63,8 +63,8 @@ def build_transition(counts, refkmer, total, rate):
     cnt = counts.astype(jnp.float32)
     valid = counts > 0
     dec = (total > 1).astype(jnp.float32)
-    is_ref = jax.nn.one_hot(refkmer, K3, dtype=jnp.float32)
-    adj = cnt - is_ref * dec[:, None]
+    L = counts.shape[0]
+    adj = cnt.at[jnp.arange(L), refkmer].add(-dec)
     tot1 = jnp.where(total > 1, total - 1, total).astype(jnp.float32)
     em = jnp.where(valid, adj - tot1[:, None] * jnp.float32(rate), NEG)
     em = em.reshape(-1, S, S, S)
@@ -74,35 +74,49 @@ def build_transition(counts, refkmer, total, rate):
 
 
 def _forward_states(A, s0, chunk):
-    """All-prefix state vectors: f[t] = s0 (x) A_0 (x) ... (x) A_t."""
-    L = A.shape[0]
+    """All-prefix state vectors: f[t] = s0 (x) A_0 (x) ... (x) A_t.
+
+    A may have leading batch axes [..., L, S, S]; s0 broadcasts [..., S].
+    Batched directions/windows share the same sequential scan steps.
+    """
+    *batch, L, _, _ = A.shape
     nch = L // chunk
-    Ach = A.reshape(nch, chunk, S, S)
+    Ach = A.reshape(*batch, nch, chunk, S, S)
+    Ach = jnp.moveaxis(Ach, -3, 0)  # [chunk, *batch, nch, S, S]
 
     def comp_step(carry, a):
         out = tropical_compose(carry, a)
-        return out - jnp.max(out), None
+        out = out - jnp.max(out, axis=(-2, -1), keepdims=True)
+        return out, None
 
-    def chunk_product(ach):
-        P, _ = jax.lax.scan(comp_step, _eye(), ach)
-        return P
-
-    P = jax.vmap(chunk_product)(Ach)  # [nch, S, S]
-    Pinc = jax.lax.associative_scan(tropical_compose, P)
-    Pexc = jnp.concatenate([_eye()[None], Pinc[:-1]], axis=0)
-    s_start = jnp.max(s0[None, :, None] + Pexc, axis=1)
-    s_start = s_start - jnp.max(s_start, axis=1, keepdims=True)
+    eye = jnp.broadcast_to(_eye(), (*batch, nch, S, S))
+    P, _ = jax.lax.scan(comp_step, eye, Ach)  # [*batch, nch, S, S]
+    Pinc = jax.lax.associative_scan(tropical_compose, P, axis=-3)
+    Pexc = jnp.concatenate([eye[..., :1, :, :], Pinc[..., :-1, :, :]],
+                           axis=-3)
+    s_start = jnp.max(s0[..., None, :, None] + Pexc, axis=-2)
+    s_start = s_start - jnp.max(s_start, axis=-1, keepdims=True)
 
     def apply_step(s, a):
-        out = jnp.max(s[:, None] + a, axis=0)
+        out = jnp.max(s[..., :, None] + a, axis=-2)
         return out, out
 
-    def chunk_apply(s_init, ach):
-        _, fs = jax.lax.scan(apply_step, s_init, ach)
-        return fs
+    _, fs = jax.lax.scan(apply_step, s_start, Ach)  # [chunk, *batch, nch, S]
+    f = jnp.moveaxis(fs, 0, -2)  # [*batch, nch, chunk, S]
+    return f.reshape(*batch, L, S)
 
-    f = jax.vmap(chunk_apply)(s_start, Ach)
-    return f.reshape(L, S)
+
+@partial(jax.jit, static_argnames=("chunk",))
+def chain_correct_sparse(uk, cn, refkmer, total, valid, rate, s0,
+                         chunk=CHUNK):
+    """chain_correct with sparse pileup input: uk (int32 cell*K3+kmer keys),
+    cn (uint16 counts; zero-count entries are padding).  Minimizes the
+    host->device transfer (the tunnel to the chip is the bottleneck, not
+    HBM): ~6 bytes per observed (cell, kmer) instead of 2*K3 per cell."""
+    L = refkmer.shape[0]
+    dense = jnp.zeros((L * K3,), jnp.uint16).at[uk].add(cn)
+    return chain_correct(dense.reshape(L, K3), refkmer, total, valid, rate,
+                         s0, chunk=chunk)
 
 
 @partial(jax.jit, static_argnames=("chunk",))
@@ -124,11 +138,12 @@ def chain_correct(counts, refkmer, total, valid, rate, s0, chunk=CHUNK):
     A = build_transition(counts, refkmer, total, rate)
     A = jnp.where(valid[:, None, None], A, _eye()[None])
 
-    f = _forward_states(A, s0, chunk)
-
-    # backward: suffix products via reversed transposes
+    # forward and backward (reversed transposes) share one batched scan
     Ar = jnp.flip(jnp.swapaxes(A, 1, 2), axis=0)
-    fr = _forward_states(Ar, jnp.zeros((S,)), chunk)
+    A2 = jnp.stack([A, Ar])
+    s02 = jnp.stack([s0.astype(jnp.float32), jnp.zeros((S,), jnp.float32)])
+    f2 = _forward_states(A2, s02, chunk)
+    f, fr = f2[0], f2[1]
     g = jnp.concatenate([jnp.flip(fr[:-1], axis=0), jnp.zeros((1, S))], axis=0)
 
     tot = f + g
@@ -158,20 +173,32 @@ def init_state(counts0: np.ndarray) -> np.ndarray:
     return s0
 
 
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def run_chain(counts: np.ndarray, refkmer: np.ndarray, total: np.ndarray,
               n_dp: int, rate: float, chunk: int = CHUNK) -> np.ndarray:
-    """Host wrapper: pad, run on device, return compact choices[:n_dp]."""
+    """Host wrapper: sparsify + pad, run on device, return choices[:n_dp]."""
     L = pad_to_chunk(max(n_dp, 1), chunk)
-    c = np.zeros((L, K3), dtype=np.int32)
-    c[:n_dp] = counts[:n_dp]
     rk = np.zeros(L, dtype=np.int32)
     rk[:n_dp] = refkmer[:n_dp]
     t = np.zeros(L, dtype=np.int32)
     t[:n_dp] = total[:n_dp]
     v = np.zeros(L, dtype=bool)
     v[:n_dp] = True
-    choice, _ = chain_correct(c, rk, t, v, float(rate), init_state(counts[0]),
-                              chunk=chunk)
+    flat = counts[:n_dp].reshape(-1)
+    nz = np.flatnonzero(flat)
+    E = _pow2(max(len(nz), 1))
+    uk = np.zeros(E, dtype=np.int32)
+    cn = np.zeros(E, dtype=np.uint16)
+    uk[: len(nz)] = nz
+    cn[: len(nz)] = flat[nz]
+    choice, _ = chain_correct_sparse(uk, cn, rk, t, v, float(rate),
+                                     init_state(counts[0]), chunk=chunk)
     return np.asarray(choice)[:n_dp]
 
 

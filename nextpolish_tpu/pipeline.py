@@ -1,0 +1,288 @@
+"""The polishing pipeline driver (role of source/nextPolish:25-530).
+
+Per task round: snapshot input genome -> (re)index -> map reads with the
+built-in mapper -> polish every contig with the task's engine -> emit a
+FASTA part with resume support -> next round reads the previous output.
+The final round gathers genome.nextpolish.fasta + N50 stats
+(gather_ctg_cns_output parity, source/nextPolish:309-338).
+
+Deviations from the reference, by design:
+  * no external bwa/minimap2/samtools: the built-in seed-chain-extend
+    mapper produces alignment batches directly (BAM import still available
+    for bring-your-own-BAM workflows via the worker APIs);
+  * Paralleltask shell jobs -> in-process stages with filesystem
+    checkpointing (runtime/scheduler.py);
+  * contig names stay unchanged across rounds (the bundled expected outputs
+    use plain names as well).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .align.index import GenomeIndex
+from .align.longread import map_long_batch
+from .align.mapper import map_short_batch, records_to_batch
+from .config import RunConfig, TASK_NAMES
+from .io import bam as bamio
+from .io.fasta import FastaIndex, SeqRecord, read_fastx, write_fasta
+from .kit import cal_n50_info, plog
+from .models.score_chain import AlgoConfig, estimate_read_tlen
+from .runtime.scheduler import StageRunner, backup_dir
+
+log = plog()
+
+
+class Pipeline:
+    def __init__(self, cfg: RunConfig):
+        self.cfg = cfg
+        self.algo = AlgoConfig()
+        self._sgs_cache = None
+        self._lgs_cache = {}
+
+    # ------------------------------------------------------------------
+    # read ingest (seq_split role, util/seq_split.c)
+    # ------------------------------------------------------------------
+    def load_sgs_reads(self):
+        """Short reads from the fofn: interleaved pairs, N-read removal,
+        total-depth cap (seq_split semantics, util/seq_split.c:256-360)."""
+        if self._sgs_cache is not None:
+            return self._sgs_cache
+        cfg = self.cfg
+        files = [l.strip() for l in open(cfg.sgs_fofn) if l.strip()]
+        files = [
+            f if f.startswith("/") else
+            os.path.join(os.path.dirname(cfg.sgs_fofn), f)
+            for f in files
+        ]
+        cap = cfg.sgs_max_depth * cfg.genome_size
+        seqs, quals, names = [], [], []
+        total = 0
+        if not cfg.sgs_unpaired and len(files) >= 2:
+            iters = [read_fastx(f) for f in files[:2]]
+            for r1 in iters[0]:
+                r2 = next(iters[1], None)
+                if r2 is None:
+                    break
+                if cfg.sgs_rm_nread and (b"N" in r1.seq.upper()
+                                         or b"N" in r2.seq.upper()):
+                    continue
+                for r in (r1, r2):
+                    seqs.append(r.seq)
+                    quals.append(r.qual)
+                    names.append(r.name)
+                total += len(r1.seq) + len(r2.seq)
+                if cap and total >= cap:
+                    break
+            paired = True
+        else:
+            for f in files:
+                for r in read_fastx(f):
+                    if cfg.sgs_rm_nread and b"N" in r.seq.upper():
+                        continue
+                    seqs.append(r.seq)
+                    quals.append(r.qual)
+                    names.append(r.name)
+                    total += len(r.seq)
+                    if cap and total >= cap:
+                        break
+                if cap and total >= cap:
+                    break
+            paired = False
+        log.info("sgs reads: %d (%d bases)", len(seqs), total)
+        self._sgs_cache = (seqs, quals, names, paired)
+        return self._sgs_cache
+
+    def load_long_reads(self, kind: str):
+        """Long reads (lgs/hifi) with min/max length filters and depth cap."""
+        if kind in self._lgs_cache:
+            return self._lgs_cache[kind]
+        cfg = self.cfg
+        fofn = cfg.lgs_fofn if kind == "lgs" else cfg.hifi_fofn
+        min_len = cfg.lgs_min_read_len if kind == "lgs" else cfg.hifi_min_read_len
+        max_len = cfg.lgs_max_read_len if kind == "lgs" else cfg.hifi_max_read_len
+        cap = (cfg.lgs_max_depth if kind == "lgs" else cfg.hifi_max_depth
+               ) * cfg.genome_size
+        files = [l.strip() for l in open(fofn) if l.strip()]
+        files = [
+            f if f.startswith("/") else os.path.join(os.path.dirname(fofn), f)
+            for f in files
+        ]
+        seqs, names = [], []
+        total = 0
+        for f in files:
+            for r in read_fastx(f):
+                if len(r.seq) < min_len:
+                    continue
+                if max_len and len(r.seq) > max_len:
+                    continue
+                seqs.append(r.seq)
+                names.append(r.name)
+                total += len(r.seq)
+                if cap and total >= cap:
+                    break
+            if cap and total >= cap:
+                break
+        log.info("%s reads: %d (%d bases)", kind, len(seqs), total)
+        self._lgs_cache[kind] = (seqs, names)
+        return self._lgs_cache[kind]
+
+    # ------------------------------------------------------------------
+    # per-task machinery
+    # ------------------------------------------------------------------
+    def map_sgs(self, genome: FastaIndex) -> bamio.AlnBatch:
+        seqs, quals, names, paired = self.load_sgs_reads()
+        idx = GenomeIndex.build(
+            [(n, genome.fetch(n).seq) for n in genome.names], k=17, w=7
+        )
+        recs = map_short_batch(idx, seqs, names, quals, paired=paired)
+        if not self.cfg.sgs_use_duplicate_reads and paired:
+            recs = mark_duplicates(recs)
+        return records_to_batch(recs, idx)
+
+    def map_long(self, genome: FastaIndex, kind: str) -> bamio.AlnBatch:
+        seqs, names = self.load_long_reads(kind)
+        idx = GenomeIndex.build(
+            [(n, genome.fetch(n).seq) for n in genome.names], k=15, w=10
+        )
+        recs = map_long_batch(idx, seqs, names)
+        return records_to_batch(recs, idx)
+
+    def polish_task(self, task: int, genome_path: str, outfile: str) -> None:
+        """Polish all contigs for one task, resuming from partial output
+        (lib/nextpolish1.py:163-216 semantics)."""
+        genome = FastaIndex(genome_path)
+        done = read_polished_names(outfile)
+        todo = [n for n in genome.names if n not in done]
+        if not todo:
+            return
+        if task in (1, 2):
+            batch = self.map_sgs(genome)
+            if task == 2:
+                self.algo.read_tlen = estimate_read_tlen(batch, self.algo)
+            from .models.kmer_count import kmer_count_contig
+            from .models.score_chain import score_chain_contig
+
+            fn = score_chain_contig if task == 1 else kmer_count_contig
+            engine = lambda name, seq: fn(name, seq, batch, self.algo)
+        elif task in (3, 4):
+            sgs = self.map_sgs(genome)
+            lgs = self.map_long(genome, "lgs") if self.cfg.lgs_fofn else None
+            from .models.snp_phase import snp_phase_contig
+            from .models.snp_valid import snp_valid_contig
+
+            fn = snp_phase_contig if task == 3 else snp_valid_contig
+            engine = lambda name, seq: fn(name, seq, sgs, lgs, self.algo)
+        elif task in (5, 6):
+            kind = "lgs" if task == 5 else "hifi"
+            batch = self.map_long(genome, kind)
+            read_type = (self.cfg.lgs_read_type or "ont") if task == 5 else "hifi"
+            from .models.ctg_cns import ctg_cns_contig
+
+            engine = lambda name, seq: ctg_cns_contig(
+                name, seq, batch, read_type, split=task == 5
+            )
+        else:
+            raise ValueError(f"unknown task {task}")
+
+        mode = "ab" if done else "wb"
+        with open(outfile, mode) as out:
+            for name in todo:
+                seq = engine(name, genome.fetch(name).seq)
+                if isinstance(seq, bytes):
+                    parts = [(name, seq)]
+                else:
+                    parts = seq  # ctg_cns may split contigs
+                for pname, pseq in parts:
+                    out.write(
+                        b">" + pname.encode() + b" " + str(len(pseq)).encode()
+                        + b"\n" + pseq + b"\n"
+                    )
+                out.flush()
+
+    # ------------------------------------------------------------------
+    def run(self) -> str:
+        cfg = self.cfg
+        if cfg.rewrite:
+            moved = backup_dir(cfg.workdir)
+            if moved:
+                log.warning("workdir moved to %s", moved)
+        os.makedirs(cfg.workdir, exist_ok=True)
+        runner = StageRunner(cfg.workdir, cfg.rerun)
+
+        genome_path = cfg.genome
+        for step, task in enumerate(cfg.task, 1):
+            stage_dir = cfg.stage_dir(step, task)
+            os.makedirs(stage_dir, exist_ok=True)
+            outfile = os.path.join(stage_dir, "genome.nextpolish.part.fasta")
+            gp = genome_path
+            runner.stage(
+                f"{step:02d}.{TASK_NAMES[task]}",
+                lambda t=task, g=gp, o=outfile: self.polish_task(t, g, o),
+                subdir=stage_dir,
+            )
+            genome_path = outfile
+
+        # gather
+        asm = os.path.join(cfg.workdir, "genome.nextpolish.fasta")
+        i = 0
+        while os.path.exists(asm):
+            i += 1
+            asm = os.path.join(cfg.workdir, f"genome.nextpolish.v{i}.fasta")
+        lengths = []
+        with open(asm, "wb") as out:
+            for rec in read_fastx(genome_path):
+                lengths.append(len(rec.seq))
+                out.write(b">" + rec.name.encode() + b" "
+                          + str(len(rec.seq)).encode() + b"\n" + rec.seq
+                          + b"\n")
+        stats = cal_n50_info(lengths, asm + ".stat")
+        log.info("final assembly: %s\n%s", asm, stats)
+        return asm
+
+
+def read_polished_names(outfile: str) -> set:
+    """Scan a partial output FASTA; the last (possibly truncated) record is
+    dropped and re-polished (lib/nextpolish1.py:163-179)."""
+    if not os.path.exists(outfile):
+        return set()
+    names = []
+    offsets = []
+    off = 0
+    with open(outfile, "rb") as fh:
+        for line in fh:
+            if line.startswith(b">"):
+                names.append(line.split()[0][1:].decode())
+                offsets.append(off)
+            off += len(line)
+    if not names:
+        return set()
+    # truncate the file at the last record start and drop it
+    with open(outfile, "rb+") as fh:
+        fh.truncate(offsets[-1])
+    return set(names[:-1])
+
+
+def mark_duplicates(recs: list) -> list:
+    """Remove PCR duplicates: proper pairs sharing (tid, fragment start/end,
+    orientation) keep only the first (samtools markdup -r role,
+    source/nextPolish:119-156)."""
+    seen = set()
+    drop = set()
+    for i, r in enumerate(recs):
+        if r["tid"] < 0 or not (r["flag"] & bamio.FPROPER):
+            continue
+        if r["flag"] & bamio.FREAD2:
+            continue  # key on read1 only; drop both mates together
+        key = (r["tid"], r["pos"], r["mtid"], r["mpos"],
+               r["flag"] & (bamio.FREVERSE | bamio.FMREVERSE))
+        if key in seen:
+            drop.add(i)
+            mate = i + 1 if i % 2 == 0 else i - 1
+            drop.add(mate)
+        else:
+            seen.add(key)
+    if drop:
+        log.info("markdup: removed %d duplicate records", len(drop))
+    return [r for i, r in enumerate(recs) if i not in drop]

@@ -13,3 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 # NOTE: do NOT enable jax's persistent compilation cache here — measured 8x
 # slower compiles for these kernels (102s vs 13s for the chain scan).
+
+# this image's sitecustomize pre-registers the axon TPU backend and pins
+# jax_platforms to "axon,cpu"; force pure CPU for the virtual 8-device mesh
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
