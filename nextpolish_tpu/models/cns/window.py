@@ -1,0 +1,165 @@
+"""Window loop for the consensus engine (ctg_cns_core, lib/ctg_cns.c:3399).
+
+Per window [s, e): reference row + filtered read tags -> MSA edges -> link
+DP -> consensus; low-quality regions are re-built from candidate substrings
+via POA seeding + re-alignment (lq.py/refine.py).  Windows overlap by
+`overlap` and are stitched on an exact-match anchor (link_consensus role).
+
+The structural-variant layer (SA-tag gap clusters, random-read depth track,
+contig splitting) activates for contigs > 100 kb in the reference; it is
+not implemented yet — windows run with empty cluster state (matches the
+reference behavior for contigs under INS_MIN_CHECK_LEN).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ...io.bam import AlnBatch
+from ...ops.pileup import region_overlap_mask
+from .dp import Consensus, link_dp, traceback
+from .lq import repair_lq_regions
+from .msa import EdgeTable, build_edges, pack_keys
+from .tags import TagColumns, build_tags, reference_row
+
+MAX_CLIP_RATIO = {"hifi": 0.1, "ont": 0.7, "clr": 0.7, "rs": 0.7}
+GAP_MIN_LEN = {"ont": 3, "hifi": 5, "clr": 5, "rs": 5}
+
+
+def cal_win_len(w: int, s: int, length: int) -> int:
+    """Balanced window length (lib/ctg_cns.c:2800-2807)."""
+    if length <= w:
+        return length
+    n = int((length - s) / (w - s) + 0.999)
+    return int((length + (n - 1) * s) / n + 0.999)
+
+
+def select_window_reads(batch: AlnBatch, tid: int, s: int, e: int,
+                        read_type: str) -> np.ndarray:
+    """Window read filter (ctg_cns_core :3507-3514): primary mapped reads
+    with aligned fraction above MAX_CLIP_RATIO."""
+    m = region_overlap_mask(batch, tid, s, max(e - 1, s))
+    m &= (batch.flag & 0xD04) == 0
+    left, right = batch.clip_lens()
+    lq = np.maximum(batch.lqseq.astype(np.int64), 1)
+    aligned_frac = (lq - left - right) / lq
+    m &= aligned_frac > MAX_CLIP_RATIO[read_type]
+    return np.flatnonzero(m)
+
+
+def window_consensus(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
+                     s: int, e: int, read_type: str, min_cov: int = 4,
+                     repair: bool = True):
+    """One window's consensus (pos window-local)."""
+    ridx = select_window_reads(batch, tid, s, e, read_type)
+    cols, coverage, l_ins, l_del, max_delta, kept = build_tags(
+        batch, ridx, contig_ascii, s, e
+    )
+    L = e - s
+    # reference row (contributes tags and +1 coverage everywhere)
+    rt, rd, rq = reference_row(contig_ascii, s, e)
+    coverage = coverage + 1
+    ref_cols = TagColumns(
+        read_of=np.full(L, -1, np.int32),
+        t_pos=rt, delta=rd, q_base=rq,
+        row_off=np.array([0, L], dtype=np.int64),
+        aln_t_s=np.array([0], dtype=np.int32),
+        aln_t_e=np.array([L - 1], dtype=np.int32),
+        ridx=np.array([-1], dtype=np.int64),
+    )
+    merged = _concat_cols([ref_cols, cols])
+    edges = build_edges(merged)
+    score, best = link_dp(edges, coverage, read_type)
+    cns = traceback(edges, score, best, coverage, L, read_type, min_cov)
+    if repair and len(cns.pos):
+        cns = repair_lq_regions(cns, merged, coverage, l_ins, l_del,
+                                read_type)
+    return cns
+
+
+def _concat_cols(parts):
+    t = np.concatenate([p.t_pos for p in parts])
+    d = np.concatenate([p.delta for p in parts])
+    q = np.concatenate([p.q_base for p in parts])
+    r = np.concatenate([p.read_of for p in parts])
+    offs = [np.zeros(1, dtype=np.int64)]
+    base = 0
+    aln_s, aln_e, ridx = [], [], []
+    for p in parts:
+        offs.append(p.row_off[1:] + base)
+        base += p.row_off[-1]
+        aln_s.append(p.aln_t_s)
+        aln_e.append(p.aln_t_e)
+        ridx.append(np.asarray(p.ridx, dtype=np.int64))
+    return TagColumns(r, t, d, q, np.concatenate(offs),
+                      np.concatenate(aln_s), np.concatenate(aln_e),
+                      np.concatenate(ridx))
+
+
+def stitch(parts: list[tuple[int, Consensus]], overlap: int, k: int = 50
+           ) -> bytes:
+    """Join window consensi on an exact k-base anchor inside the overlap
+    (link_consensus, lib/ctg_cns.c:3121-3223).
+
+    parts: [(window_start, Consensus)] in order."""
+    out = bytearray()
+    for i, (ws, cns) in enumerate(parts):
+        seq = cns.base.tobytes()
+        gpos = cns.pos.astype(np.int64) + ws
+        if i == 0:
+            take_from = 0
+        else:
+            # find the anchor chosen when emitting the previous window
+            take_from = _first_at_or_after(gpos, prev_cut_gpos)
+            # skip anchor duplication: advance past bases already emitted
+            take_from = _match_anchor(out, seq, gpos, take_from, k)
+        if i + 1 < len(parts):
+            next_ws = parts[i + 1][0]
+            mid = next_ws + overlap // 2
+            cut = _first_at_or_after(gpos, mid)
+            prev_cut_gpos = gpos[cut] if cut < len(gpos) else (
+                gpos[-1] + 1 if len(gpos) else mid
+            )
+        else:
+            cut = len(seq)
+        out += seq[take_from:cut]
+    return bytes(out)
+
+
+def _first_at_or_after(gpos: np.ndarray, target: int) -> int:
+    return int(np.searchsorted(gpos, target, side="left"))
+
+
+def _match_anchor(out: bytearray, seq: bytes, gpos: np.ndarray,
+                  start: int, k: int) -> int:
+    """Align the window seam on an exact k-mer: search near `start` for a
+    run matching the tail of `out` (upper-cased comparison)."""
+    if len(out) < k or start >= len(seq):
+        return start
+    tail = bytes(out[-k:]).upper()
+    lo = max(start - 4 * k, 0)
+    hi = min(start + 4 * k, len(seq) - 1)
+    window = seq[lo:hi].upper()
+    j = window.find(tail)
+    if j >= 0:
+        return lo + j + k
+    return start
+
+
+def consensus_for_contig(batch: AlnBatch, tid: int, contig: bytes,
+                         read_type: str, window: int = 5_000_000,
+                         overlap: int = 1_000_000, min_cov: int = 4,
+                         repair: bool = True) -> bytes:
+    """Whole-contig consensus: window loop + stitch (ctg_cns_core)."""
+    contig_ascii = np.frombuffer(contig.upper(), dtype=np.uint8)
+    length = len(contig)
+    b = cal_win_len(window, overlap, length)
+    parts = []
+    s = 0
+    e = 0
+    while e < length:
+        e = min(s + b, length)
+        cns = window_consensus(batch, tid, contig_ascii, s, e, read_type,
+                               min_cov, repair)
+        parts.append((s, cns))
+        s = e - overlap
+    return stitch(parts, overlap)
