@@ -208,7 +208,36 @@ def read_bam(path: str, with_names: bool = False, with_tags: bool = True) -> Aln
         off += 4
         lengths.append(l_ref)
     header = BamHeader(text, names, lengths)
+    from .. import native
+
+    cols = native.bam_scan(data, off)
+    if cols is not None:
+        return _batch_from_native(cols, header, with_names, with_tags)
     return _parse_records(data, off, header, with_names, with_tags)
+
+
+def _batch_from_native(cols, header, with_names, with_tags) -> "AlnBatch":
+    names = None
+    if with_names:
+        names = cols["qnames"].decode(errors="replace").split("\x00")[:-1] \
+            if cols["qnames"] else []
+        if len(names) != cols["n"]:
+            names = None
+    batch = AlnBatch(
+        header=header,
+        tid=cols["tid"], pos=cols["pos"], mapq=cols["mapq"],
+        flag=cols["flag"], tlen=cols["tlen"], lqseq=cols["lqseq"],
+        cigar=cols["cigar"], cigar_off=cols["cigar_off"],
+        cigar_len=cols["cigar_len"], seq=cols["seq"],
+        seq_off=cols["seq_off"], qual=cols["qual"],
+        qual_off=cols["seq_off"].copy(), names=names,
+        mtid=cols["mtid"], mpos=cols["mpos"],
+    )
+    if with_tags:
+        batch.tags = cols["tags"]
+        batch.tags_off = cols["tags_off"]
+        batch.tags_len = cols["tags_len"]
+    return batch
 
 
 def _parse_records(data: bytes, off: int, header: BamHeader,

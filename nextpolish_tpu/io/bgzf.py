@@ -63,7 +63,13 @@ def decompress_stream(data: bytes) -> bytes:
 
 def read_bgzf(path: str) -> bytes:
     with open(path, "rb") as fh:
-        return decompress_stream(fh.read())
+        data = fh.read()
+    from .. import native
+
+    out = native.bgzf_decompress(data)
+    if out is not None:
+        return out
+    return decompress_stream(data)
 
 
 def compress_block(chunk: bytes, level: int = 6) -> bytes:

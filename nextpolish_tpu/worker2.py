@@ -1,0 +1,133 @@
+"""Standalone long-read/HiFi consensus worker (lib/nextpolish2.py parity).
+
+Bring-your-own-BAM workflow (doc/TUTORIAL.rst:128-150):
+
+    python -m nextpolish_tpu.worker2 -g genome.fa -l lgs.sort.bam.list \
+        -r ont -o genome.polished.fa
+
+-l takes a file-of-filenames of sorted BAMs (merged in memory) or a single
+BAM path.  -r in {ont, clr, hifi, rs}.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from .io.bam import AlnBatch, read_bam
+from .io.fasta import FastaIndex
+from .kit import parse_num_unit, plog
+from .models.ctg_cns import ctg_cns_contig
+from .pipeline import read_polished_names
+
+log = plog()
+
+
+def merge_batches(paths: list[str]) -> AlnBatch:
+    """In-memory k-way merge of sorted BAMs (bam_merge_iter role,
+    lib/bsort.c:1202-1463): concatenate and re-sort by (tid, pos)."""
+    batches = [read_bam(p) for p in paths]
+    if len(batches) == 1:
+        return batches[0]
+    base = batches[0]
+    import numpy as np
+
+    def cat(field):
+        return np.concatenate([getattr(b, field) for b in batches])
+
+    cigar = cat("cigar")
+    seq = cat("seq")
+    qual = cat("qual")
+    tags = (np.concatenate([b.tags for b in batches])
+            if all(b.tags is not None for b in batches) else None)
+    # rebase offsets
+    cigar_off, seq_off, tags_off = [], [], []
+    cbase = sbase = tbase = 0
+    for b in batches:
+        cigar_off.append(b.cigar_off + cbase)
+        seq_off.append(b.seq_off + sbase)
+        cbase += len(b.cigar)
+        sbase += len(b.seq)
+        if tags is not None:
+            tags_off.append(b.tags_off + tbase)
+            tbase += len(b.tags)
+    merged = AlnBatch(
+        header=base.header,
+        tid=cat("tid"), pos=cat("pos"), mapq=cat("mapq"), flag=cat("flag"),
+        tlen=cat("tlen"), lqseq=cat("lqseq"),
+        cigar=cigar, cigar_off=np.concatenate(cigar_off),
+        cigar_len=cat("cigar_len"), seq=seq,
+        seq_off=np.concatenate(seq_off), qual=qual,
+        qual_off=np.concatenate(seq_off), names=None,
+        tags=tags, tags_off=np.concatenate(tags_off) if tags is not None else None,
+        tags_len=cat("tags_len") if tags is not None else None,
+        mtid=cat("mtid"), mpos=cat("mpos"),
+    )
+    order = np.lexsort((merged.pos, merged.tid))
+    return merged.select(order)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="nextpolish_tpu.worker2",
+        description="Polish a genome with long reads (tasks 5/6).",
+    )
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-l", "--bam_list", required=True,
+                   help="file of sorted-BAM paths, or a single BAM")
+    p.add_argument("-r", "--read_type", required=True,
+                   choices=["ont", "clr", "hifi", "rs"])
+    p.add_argument("-o", "--out", default="stdout")
+    p.add_argument("-sp", "--split", action="store_true",
+                   help="split contigs at structural break points "
+                        "(structural layer pending; accepted for parity)")
+    p.add_argument("-w", "--window", type=str, default="5M")
+    p.add_argument("-u", "--uppercase", action="store_true")
+    p.add_argument("-p", "--process", type=int, default=1)
+    args, _ = p.parse_known_args(argv)
+
+    if args.bam_list.endswith(".bam"):
+        paths = [args.bam_list]
+    else:
+        d = os.path.dirname(os.path.abspath(args.bam_list))
+        paths = []
+        for line in open(args.bam_list):
+            line = line.strip()
+            if line:
+                paths.append(line if line.startswith("/")
+                             else os.path.join(d, line))
+    batch = merge_batches(paths)
+    genome = FastaIndex(args.genome)
+    window = max(parse_num_unit(args.window), 4_000_001)
+
+    done = set()
+    if args.out != "stdout":
+        done = read_polished_names(args.out)
+        out = open(args.out, "ab" if done else "wb")
+    else:
+        out = sys.stdout.buffer
+    for name in genome.names:
+        if name in done:
+            log.warning("Skip polished seq: %s", name)
+            continue
+        parts = ctg_cns_contig(name, genome.fetch(name).seq, batch,
+                               args.read_type, split=args.split,
+                               window=window)
+        for pname, seq in parts:
+            if len(seq) <= 10:
+                log.critical("polished seq %s is too short (%d bp)",
+                             pname, len(seq))
+            if args.uppercase:
+                seq = seq.upper()
+            out.write(b">" + pname.encode() + b" " + str(len(seq)).encode()
+                      + b"\n" + seq + b"\n")
+        out.flush()
+    if args.out != "stdout":
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
