@@ -12,9 +12,8 @@ Mirrors the reference's pipeline (lib/ctg_cns.c):
     (generate_consensus_trimed / iterate_generate_consensus_trimed
     :1287-1473), then splicing seeds back (update_consensus_trimed :1165).
 
-Round-1 deviations (documented): the initial seed uses a star-MSA majority
-vote (best-kscore backbone + banded alignment of the other candidates)
-instead of the dag.c POA; SA-tag gap clusters are not wired in yet.
+Round-1 deviation (documented): SA-tag gap clusters are not wired in yet
+(the reference only engages them for contigs > 100 kb).
 """
 from __future__ import annotations
 
@@ -182,37 +181,6 @@ def _filter_lengths(cands: list[bytes]) -> list[bytes]:
     return cands
 
 
-def _star_seed(cands: list[bytes]) -> bytes:
-    """Star-MSA majority consensus used as the POA-sudoseed stand-in."""
-    if len(cands) == 1:
-        return cands[0]
-    backbone = cands[0]
-    others = cands[1:6]
-    rows = _align_to_seed(others, backbone)
-    # column voting over the backbone coordinates (simple majority incl.
-    # the backbone itself; insertions are kept when a majority agrees)
-    votes = [dict() for _ in range(len(backbone))]
-    ins_votes = [dict() for _ in range(len(backbone) + 1)]
-    for ch, pos in zip(backbone, range(len(backbone))):
-        votes[pos][bytes([ch])] = votes[pos].get(bytes([ch]), 0) + 1
-    for row in rows:
-        if row is None:
-            continue
-        for pos, piece in row:
-            if pos >= 0:
-                votes[pos][piece] = votes[pos].get(piece, 0) + 1
-    out = bytearray()
-    half = (len(rows) + 1) / 2
-    for pos in range(len(backbone)):
-        if votes[pos]:
-            best = max(votes[pos].items(), key=lambda kv: kv[1])
-            if best[1] >= half or best[0] == backbone[pos : pos + 1]:
-                out += best[0]
-            else:
-                out += best[0]
-    return bytes(out)
-
-
 def _align_to_seed(cands: list[bytes], seed: bytes):
     """Batched global alignment of candidates to the seed; returns per-cand
     [(seed_pos, replacement bytes)] with -1-pos pieces ignored, or None."""
@@ -305,8 +273,13 @@ def build_seed(cands: list[bytes], n_empty: int) -> bytes | None:
         return None
     if best_n > len(cands) / 3 and best_n > 1:
         return best_seq
+    # seed selection by candidate size (lib/ctg_cns.c:949-957)
+    if len(keep[0]) >= 20000:
+        return keep[0]
     top = keep[:6] if len(keep[0]) < 3000 else keep[:2]
-    return _star_seed(top)
+    from .poa import poa_consensus
+
+    return poa_consensus(top)
 
 
 def refine_seed(seed: bytes, cands: list[bytes], iterations: int = 2

@@ -135,3 +135,14 @@ def test_ctg_cns_contig_entry():
     name, seq = parts[0]
     assert name == "ctg"
     assert len(seq) > 2500
+
+
+def test_poa_consensus():
+    from nextpolish_tpu.models.cns.poa import poa_consensus
+
+    rng = np.random.default_rng(11)
+    base = rand_seq(rng, 250)
+    assert poa_consensus([base, base, base]) == base
+    noisy = [_noisy(rng, base, 0.02, 0.02, 0.02) for _ in range(6)]
+    cns = poa_consensus(noisy)
+    assert _edit_distance(cns, base) <= 3
