@@ -363,6 +363,11 @@ def expand_reads(batch: AlnBatch, levels: np.ndarray, level: int,
         qpos = qs[rep] + j
         g = (qpos >= qstart_o[rep]) & (qpos <= qend_o[rep])
         anchor = rs[rep] - 1 - start
+        # clip insertions longer than the anchor's slot count — happens when
+        # the parsed read set differs from the slot-creating set (e.g. lgs
+        # reads over an sgs-built index in snp_phase); the reference's
+        # equivalent walk would index past its insert list here
+        g &= j < ins_of[anchor]
         cand_cells.append(cell_of[anchor[g]] + 1 + j[g])
         cand_q.append(qpos[g])
         cand_read.append(op_read[rep[g]])

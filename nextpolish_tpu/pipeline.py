@@ -154,7 +154,10 @@ class Pipeline:
         (lib/nextpolish1.py:163-216 semantics)."""
         genome = FastaIndex(genome_path)
         done = read_polished_names(outfile)
-        todo = [n for n in genome.names if n not in done]
+        from .parallel.hosts import my_contigs
+
+        mine = my_contigs(genome.lengths())
+        todo = [n for n in mine if n not in done]
         if not todo:
             return
         if task in (1, 2):
