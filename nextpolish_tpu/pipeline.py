@@ -171,6 +171,7 @@ class Pipeline:
             engine = lambda name, seq: fn(name, seq, batch, self.algo)
         elif task in (3, 4):
             sgs = self.map_sgs(genome)
+            self.algo.read_tlen = estimate_read_tlen(sgs, self.algo)
             lgs = self.map_long(genome, "lgs") if self.cfg.lgs_fofn else None
             from .models.snp_phase import snp_phase_contig
             from .models.snp_valid import snp_valid_contig
