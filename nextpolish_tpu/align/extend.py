@@ -131,13 +131,29 @@ def _band_align(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
 def band_align(q_codes: np.ndarray, t_codes: np.ndarray, qlen: np.ndarray,
                tlen: np.ndarray, match=1, mismatch=4, gapo=6, gape=1,
                mode="local"):
-    """Host wrapper; returns numpy (tb, score, end_i, end_c)."""
+    """Host wrapper; returns numpy (tb, score, end_i, end_c).
+
+    The batch dimension is padded to a power of two so jit sees a bounded
+    set of shapes (a fresh compile per distinct batch size was the top
+    cost on this host)."""
+    n = q_codes.shape[0]
+    nb = 1
+    while nb < n:
+        nb *= 2
+    if nb != n:
+        q_codes = np.concatenate(
+            [q_codes, np.full((nb - n, q_codes.shape[1]), 4, q_codes.dtype)])
+        t_codes = np.concatenate(
+            [t_codes, np.full((nb - n, t_codes.shape[1]), 4, t_codes.dtype)])
+        qlen = np.concatenate([qlen, np.zeros(nb - n, qlen.dtype)])
+        tlen = np.concatenate([tlen, np.ones(nb - n, tlen.dtype)])
     tb, sc, bi, bc = _band_align(
         jnp.asarray(q_codes), jnp.asarray(t_codes),
         jnp.asarray(qlen, dtype=jnp.int32), jnp.asarray(tlen, dtype=jnp.int32),
         match=match, mismatch=mismatch, gapo=gapo, gape=gape, mode=mode,
     )
-    return (np.asarray(tb), np.asarray(sc), np.asarray(bi), np.asarray(bc))
+    return (np.asarray(tb)[:n], np.asarray(sc)[:n], np.asarray(bi)[:n],
+            np.asarray(bc)[:n])
 
 
 # CIGAR op codes (BAM)
