@@ -373,11 +373,15 @@ def get_tag(batch: AlnBatch, i: int, tag: bytes):
     return None
 
 
-def write_bam(path: str, header: BamHeader, records) -> None:
+def write_bam(path: str, header: BamHeader, records, index: bool = False
+              ) -> None:
     """Write records to a BAM file.  Each record is a dict with keys:
     name, flag, tid, pos, mapq, cigar (uint32 array), seq_nib (uint8 array),
     qual (uint8 array), mtid, mpos, tlen, tags (raw bytes, optional).
-    """
+
+    With index=True also writes `path + ".bai"` (records must be sorted by
+    (tid, pos))."""
+    voffs = []
     with BgzfWriter(path) as out:
         text = header.text.encode()
         buf = bytearray()
@@ -388,7 +392,19 @@ def write_bam(path: str, header: BamHeader, records) -> None:
             buf += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
         out.write(bytes(buf))
         for rec in records:
+            vs = out.tell_virtual()
             out.write(_encode_record(rec))
+            if index:
+                cig = np.asarray(rec["cigar"], dtype=np.uint32)
+                span = int(((cig >> 4) * CONSUMES_R[cig & 0xF]).sum()) \
+                    if len(cig) else 1
+                voffs.append((rec["tid"], rec["pos"],
+                              rec["pos"] + max(span, 1), vs,
+                              out.tell_virtual()))
+    if index:
+        from .bai import write_bai
+
+        write_bai(path + ".bai", len(header.names), voffs)
 
 
 def _encode_record(rec: dict) -> bytes:

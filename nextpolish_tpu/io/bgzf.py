@@ -101,16 +101,26 @@ class BgzfWriter:
             self._own = False
         self._buf = bytearray()
         self._level = level
+        self._coffset = 0  # compressed bytes written so far
+
+    def tell_virtual(self) -> int:
+        """BGZF virtual offset (coffset << 16 | within-block offset) of the
+        next byte to be written."""
+        return (self._coffset << 16) | len(self._buf)
 
     def write(self, data: bytes):
         self._buf += data
         while len(self._buf) >= self.BLOCK:
-            self._fh.write(compress_block(bytes(self._buf[: self.BLOCK]), self._level))
+            blk = compress_block(bytes(self._buf[: self.BLOCK]), self._level)
+            self._fh.write(blk)
+            self._coffset += len(blk)
             del self._buf[: self.BLOCK]
 
     def close(self):
         if self._buf:
-            self._fh.write(compress_block(bytes(self._buf), self._level))
+            blk = compress_block(bytes(self._buf), self._level)
+            self._fh.write(blk)
+            self._coffset += len(blk)
             self._buf.clear()
         self._fh.write(BGZF_EOF)
         if self._own:
