@@ -1,0 +1,61 @@
+#!/bin/bash
+# Build the reference NextPolish engines as shared objects for the parity
+# harness (tools/ref_parity.py).  Builds OUTSIDE the repo in /tmp from a
+# copy of the read-only reference tree; bz2/lzma are stubbed out (only the
+# CRAM codecs need them and we never use CRAM).
+set -e
+REF=${1:-/root/reference/source}
+DST=/tmp/refbuild
+STUBINC=/tmp/stubinc
+STUBLIB=/tmp/stublib
+
+if [ -f $DST/lib/nextpolish1.so ] && [ -f $DST/lib/nextpolish2.so ]; then
+  echo "already built: $DST/lib/nextpolish{1,2}.so"
+  exit 0
+fi
+
+rm -rf $DST && cp -r $REF $DST
+
+mkdir -p $STUBINC $STUBLIB
+cat > $STUBINC/bzlib.h <<'EOF'
+#ifndef STUB_BZLIB_H
+#define STUB_BZLIB_H
+#define BZ_OK 0
+static inline int BZ2_bzBuffToBuffCompress(char* d, unsigned* dl, char* s, unsigned sl, int b, int v, int w){ (void)d;(void)dl;(void)s;(void)sl;(void)b;(void)v;(void)w; return -1; }
+static inline int BZ2_bzBuffToBuffDecompress(char* d, unsigned* dl, char* s, unsigned sl, int sm, int v){ (void)d;(void)dl;(void)s;(void)sl;(void)sm;(void)v; return -1; }
+#endif
+EOF
+cat > $STUBINC/lzma.h <<'EOF'
+#ifndef STUB_LZMA_H
+#define STUB_LZMA_H
+#include <stdint.h>
+#include <stddef.h>
+typedef int lzma_ret;
+typedef int lzma_action;
+typedef struct { const uint8_t *next_in; size_t avail_in; uint64_t total_in; uint8_t *next_out; size_t avail_out; uint64_t total_out; void* a; void* i; void* r1; void* r2; void* r3; void* r4; uint64_t s1; uint64_t s2; size_t s3; size_t s4; int e1; int e2; int e3; } lzma_stream;
+#define LZMA_STREAM_INIT {0}
+#define LZMA_OK 0
+#define LZMA_STREAM_END 1
+#define LZMA_RUN 0
+#define LZMA_FINISH 3
+#define LZMA_PRESET_DEFAULT 6
+#define LZMA_CHECK_CRC32 1
+#define LZMA_CONCATENATED 0x08
+static inline size_t lzma_stream_buffer_bound(size_t n){ return n + n/3 + 128; }
+static inline lzma_ret lzma_easy_buffer_encode(uint32_t p, int c, void* a, const uint8_t* in, size_t isz, uint8_t* out, size_t* op, size_t osz){ (void)p;(void)c;(void)a;(void)in;(void)isz;(void)out;(void)op;(void)osz; return 11; }
+static inline uint64_t lzma_easy_decoder_memusage(uint32_t p){ (void)p; return 0; }
+static inline lzma_ret lzma_stream_decoder(lzma_stream* s, uint64_t m, uint32_t f){ (void)s;(void)m;(void)f; return 11; }
+static inline lzma_ret lzma_code(lzma_stream* s, lzma_action a){ (void)s;(void)a; return 11; }
+static inline void lzma_end(lzma_stream* s){ (void)s; }
+#endif
+EOF
+echo "void __npt_stub_bz2(void){}" > $STUBLIB/b.c
+echo "void __npt_stub_lzma(void){}" > $STUBLIB/l.c
+(cd $STUBLIB && gcc -c b.c l.c && ar rcs libbz2.a b.o && ar rcs liblzma.a l.o)
+
+cd $DST/lib
+make -C htslib CFLAGS="-g -Wall -O2 -I. -I$STUBINC -fPIC" libhts.a
+make nextpolish1.so LIBS="-lm -L$STUBLIB -lbz2 -llzma -lz"
+make nextpolish2.so LIBS="-lm -L$STUBLIB -lbz2 -llzma -lz" \
+  ALL_CFLAGS="-I. -I./htslib -I$STUBINC -Wall -O3 -std=c99 -fPIC"
+echo "built: $DST/lib/nextpolish1.so $DST/lib/nextpolish2.so"
