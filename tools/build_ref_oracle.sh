@@ -54,8 +54,19 @@ echo "void __npt_stub_lzma(void){}" > $STUBLIB/l.c
 (cd $STUBLIB && gcc -c b.c l.c && ar rcs libbz2.a b.o && ar rcs liblzma.a l.o)
 
 cd $DST/lib
+# Build libhts.a only (the .pico shared-lib objects need real bz2/lzma
+# headers at their default CFLAGS, and the lib/Makefile `htslib_` target
+# re-invokes htslib's full default target — so bypass make for the link).
 make -C htslib CFLAGS="-g -Wall -O2 -I. -I$STUBINC -fPIC" libhts.a
-make nextpolish1.so LIBS="-lm -L$STUBLIB -lbz2 -llzma -lz"
-make nextpolish2.so LIBS="-lm -L$STUBLIB -lbz2 -llzma -lz" \
-  ALL_CFLAGS="-I. -I./htslib -I$STUBINC -Wall -O3 -std=c99 -fPIC"
+for f in main snpvalid snpphase kmercount lgspolish scorechain contig base seqlist config; do
+  gcc -I. -I./htslib -I$STUBINC -Wall -O3 -std=c99 -fPIC -o $f.o -c $f.c
+done
+gcc -Wall -O3 -std=c99 -fPIC -shared -o nextpolish1.so \
+  main.o snpvalid.o snpphase.o kmercount.o lgspolish.o scorechain.o \
+  contig.o base.o seqlist.o config.o htslib/libhts.a \
+  -lpthread -lm -L$STUBLIB -lbz2 -llzma -lz
+gcc -Wall -O3 -std=c99 -fPIC -shared -Wno-unused-function -DLGS_CORRECT \
+  -D_SVID_SOURCE -o nextpolish2.so bseq.c align.c bsort.c dag.c ctg_cns.c \
+  htslib/libhts.a -I. -I./htslib -I$STUBINC \
+  -lpthread -lm -L$STUBLIB -lbz2 -llzma -lz
 echo "built: $DST/lib/nextpolish1.so $DST/lib/nextpolish2.so"
