@@ -2,7 +2,14 @@
 
 Equivalent of update_msa (lib/ctg_cns.c:324-365): for every read column,
 count the distinct (previous, before-previous) column pairs.  Tags are keyed
-as (t_pos, delta, q_base) packed into int64; the head sentinel is -1.
+as (t_pos, delta, q_base) packed into int64; the head sentinel is -1
+(the C align_tag_head is {t_pos=-1, delta=0, q_base=0},
+lib/ctg_cns.c:52-56 — its q_base of 0 matters for tie rules, handled in
+dp.py).
+
+The C keeps each cell's entries in *insertion order* (first occurrence over
+reads in BAM order) and its tie-break rules depend on that order, so every
+edge carries `ins`, its first-occurrence column index.
 """
 from __future__ import annotations
 
@@ -40,6 +47,7 @@ class EdgeTable:
     pp: np.ndarray  # int64 [E] (HEAD for read-start columns)
     ppp: np.ndarray  # int64 [E]
     link: np.ndarray  # int32 [E]
+    ins: np.ndarray  # int64 [E] first-occurrence column index (C order)
     tag_key: np.ndarray  # int64 [Tn] unique cur keys
     tag_off: np.ndarray  # int64 [Tn+1] entry slices per tag
 
@@ -49,7 +57,7 @@ def build_edges(cols: TagColumns) -> EdgeTable:
     n = len(keys)
     if n == 0:
         z = np.empty(0, np.int64)
-        return EdgeTable(z, z, z, np.empty(0, np.int32), z,
+        return EdgeTable(z, z, z, np.empty(0, np.int32), z.copy(), z,
                          np.zeros(1, np.int64))
     pp = np.empty(n, dtype=np.int64)
     ppp = np.empty(n, dtype=np.int64)
@@ -67,15 +75,19 @@ def build_edges(cols: TagColumns) -> EdgeTable:
     ck, pk, qk = keys[order], pp[order], ppp[order]
     change = np.ones(n, dtype=bool)
     change[1:] = (ck[1:] != ck[:-1]) | (pk[1:] != pk[:-1]) | (qk[1:] != qk[:-1])
+    gid = np.cumsum(change) - 1
     starts = np.flatnonzero(change)
     link = np.diff(np.concatenate([starts, [n]])).astype(np.int32)
     cur = ck[starts]
     ppv = pk[starts]
     pppv = qk[starts]
+    # first-occurrence (minimum original column index) per group
+    ins = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(ins, gid, order)
 
     tag_change = np.ones(len(cur), dtype=bool)
     tag_change[1:] = cur[1:] != cur[:-1]
     tstarts = np.flatnonzero(tag_change)
     tag_key = cur[tstarts]
     tag_off = np.concatenate([tstarts, [len(cur)]]).astype(np.int64)
-    return EdgeTable(cur, ppv, pppv, link, tag_key, tag_off)
+    return EdgeTable(cur, ppv, pppv, link, ins, tag_key, tag_off)
