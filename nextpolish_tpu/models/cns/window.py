@@ -71,8 +71,17 @@ def window_consensus(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
     score, best = link_dp(edges, coverage, read_type)
     cns = traceback(edges, score, best, coverage, L, read_type, min_cov)
     if repair and len(cns.pos):
-        cns = repair_lq_regions(cns, merged, coverage, l_ins, l_del,
-                                read_type)
+        if read_type == "hifi":
+            # HIFI takes the _lq flow (qv-run region detection inside the
+            # traceback + kmer candidate variant) — still on the
+            # approximate path, scheduled next
+            cns = repair_lq_regions(cns, merged, coverage, l_ins, l_del,
+                                    read_type)
+        else:
+            from .lqrepair import repair as exact_repair
+
+            cns = exact_repair(cns, merged, coverage, l_ins, l_del,
+                               read_type)
     return cns
 
 

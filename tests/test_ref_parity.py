@@ -98,3 +98,48 @@ def test_kmer_count_byte_parity(ref_lib, tmp_path):
     cfg.read_tlen = estimate_read_tlen(batch, cfg)
     ours2 = kmer_count_contig("ctg1", ref1, batch, cfg)
     assert ours2 == ref2, f"len ours={len(ours2)} ref={len(ref2)}"
+
+
+REF2_SO = "/tmp/refbuild/lib/nextpolish2.so"
+
+
+@pytest.fixture(scope="module")
+def ref2_lib(ref_lib):
+    # ref_lib ensures the oracle tree is built; nextpolish2.so comes from
+    # the same build script
+    if not os.path.exists(REF2_SO):
+        pytest.skip("reference engine-2 oracle missing")
+    from ref_parity2 import load_ref2
+
+    return load_ref2(REF2_SO)
+
+
+@pytest.mark.parametrize("seed,read_type", [(0, "ont"), (3, "ont"),
+                                            (1, "clr")])
+def test_ctg_cns_byte_parity(ref2_lib, tmp_path, seed, read_type):
+    """Engine-2 consensus must match the reference byte-for-byte
+    (including lowercase low-qv marking) on identical BAMs."""
+    from ref_parity import batch_to_bam, write_fai
+    from ref_parity2 import run_reference_cns
+
+    from util_sim import make_draft, rand_seq, records_to_batch, simulate_reads
+
+    from nextpolish_tpu.models.ctg_cns import ctg_cns_contig
+
+    rng = np.random.default_rng(seed)
+    true = rand_seq(rng, 6000)
+    draft, ops = make_draft(rng, true, n_edits=12)
+    recs = simulate_reads(rng, true, ops, read_len=2000, step=151,
+                          err_rate=0.03)
+    batch = records_to_batch(recs, len(draft))
+    fa = tmp_path / "genome.fa"
+    fa.write_bytes(b">ctg1\n" + draft + b"\n")
+    write_fai(str(fa))
+    bam = tmp_path / "lgs.sort.bam"
+    batch_to_bam(batch, str(bam))
+    ref_out = run_reference_cns(ref2_lib, str(fa), str(bam), read_type)
+    ours = ctg_cns_contig("ctg1", draft, batch, read_type)[0][1]
+    ref = ref_out["ctg1"][0]
+    assert ours == ref, (
+        f"len ours={len(ours)} ref={len(ref)} "
+        f"upper_eq={ours.upper() == ref.upper()}")
