@@ -875,3 +875,46 @@ def repair(cns: Consensus, cols, coverage, l_ins, l_del,
     generate_lqseqs_from_tags(lqseqs, cols, kmer_variant=False)
     iterate_refine(lqseqs, read_type, 2)
     return update_consensus_trimed(lqseqs, cns)
+
+
+def hifi_lq_regions(cns: Consensus, coverage) -> list[LqSeq]:
+    """HIFI LQ detection: qv-run scan in traceback (reverse) order
+    (generate_cns_from_best_score_lq :1751-1793), DAG_MIN_QV = 80."""
+    n = len(cns.pos)
+    rpos = cns.pos[::-1]
+    rqv = cns.qv[::-1]
+    lq_min_length = 2
+    lqseqs: list[LqSeq] = []
+    lq = 0
+    lq_s = -1
+    lq_e = -1
+    for p in range(n):
+        if coverage[rpos[p]] < 4:
+            lq = 0
+            lq_s = -1
+        elif rqv[p] < 80:
+            if lq_s == -1:
+                lq_s = p
+            lq_e = p
+            lq = 1
+        elif (lq and p - lq_e > 2 * lq_min_length
+              and rpos[p] != rpos[p - 1]):
+            e_i = p - lq_min_length - 1
+            s_i = lq_s - lq_min_length if lq_s > lq_min_length else 1
+            if lqseqs and rpos[s_i] >= lqseqs[-1].start:
+                lqseqs[-1].start = int(rpos[e_i])
+            else:
+                lqseqs.append(LqSeq(int(rpos[e_i]), int(rpos[s_i]), 4))
+            lq = 0
+            lq_s = -1
+    return lqseqs
+
+
+def repair_hifi(cns: Consensus, cols, coverage) -> Consensus:
+    """HIFI repair path (generate_cns_from_best_score_lq :1727-1826)."""
+    lqseqs = hifi_lq_regions(cns, coverage)
+    if not lqseqs:
+        return cns
+    generate_lqseqs_from_tags(lqseqs, cols, kmer_variant=True)
+    iterate_refine(lqseqs, "hifi", 2)
+    return update_consensus_trimed(lqseqs, cns)

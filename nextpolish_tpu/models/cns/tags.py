@@ -114,7 +114,7 @@ def _match_run_bounds(is_match: np.ndarray, k: int = 8):
 
 def build_tags(batch: AlnBatch, ridx: np.ndarray, contig_ascii: np.ndarray,
                win_s: int, win_e: int, anchor_k: int = 8,
-               min_span: int = 500):
+               min_span: int = 500, gap_min_len: int = 3):
     """Expand + trim + clip the selected reads into TagColumns, and
     accumulate the per-position tracks.
 
@@ -130,7 +130,7 @@ def build_tags(batch: AlnBatch, ridx: np.ndarray, contig_ascii: np.ndarray,
     l_ins = np.zeros(L, dtype=np.int32)
     l_del = np.zeros(L, dtype=np.int32)
     max_delta = np.zeros(L, dtype=np.int32)
-    GAP_MIN_LEN = 3  # set by read type in window.py via argument if needed
+    # GAP_MIN_LEN: 3 for ONT, 5 otherwise (ctg_cns_core :3436-3442)
 
     for row, r in enumerate(ridx):
         tpos, qbase, is_ins, _ = read_columns(batch, int(r))
@@ -189,8 +189,8 @@ def build_tags(batch: AlnBatch, ridx: np.ndarray, contig_ascii: np.ndarray,
         np.add.at(coverage, t_local[d0], 1)
         np.add.at(l_del, t_local[d0 & (qbase == GAP)], 1)
         np.maximum.at(max_delta, t_local, delta.astype(np.int32))
-        # l_ins: once per read per position where its run reaches GAP_MIN_LEN
-        big = delta >= GAP_MIN_LEN
+        # l_ins: once per read per position where its run reaches gap_min_len
+        big = delta >= gap_min_len
         if big.any():
             first = big & ~np.concatenate([[False], big[:-1]])
             # count once per contiguous big-run (l flag semantics)

@@ -52,7 +52,8 @@ def window_consensus(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
     """One window's consensus (pos window-local)."""
     ridx = select_window_reads(batch, tid, s, e, read_type)
     cols, coverage, l_ins, l_del, max_delta, kept = build_tags(
-        batch, ridx, contig_ascii, s, e
+        batch, ridx, contig_ascii, s, e,
+        gap_min_len=GAP_MIN_LEN[read_type]
     )
     L = e - s
     # reference row (contributes tags and +1 coverage everywhere)
@@ -69,14 +70,15 @@ def window_consensus(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
     merged = _concat_cols([ref_cols, cols])
     edges = build_edges(merged)
     score, best = link_dp(edges, coverage, read_type)
-    cns = traceback(edges, score, best, coverage, L, read_type, min_cov)
+    # HIFI's _lq flow marks low-qv with DAG_MIN_QV=80 (:1794-1798)
+    lq_min_qv = 80 if read_type == "hifi" else 20
+    cns = traceback(edges, score, best, coverage, L, read_type, min_cov,
+                    lq_min_qv=lq_min_qv)
     if repair and len(cns.pos):
         if read_type == "hifi":
-            # HIFI takes the _lq flow (qv-run region detection inside the
-            # traceback + kmer candidate variant) — still on the
-            # approximate path, scheduled next
-            cns = repair_lq_regions(cns, merged, coverage, l_ins, l_del,
-                                    read_type)
+            from .lqrepair import repair_hifi
+
+            cns = repair_hifi(cns, merged, coverage)
         else:
             from .lqrepair import repair as exact_repair
 
