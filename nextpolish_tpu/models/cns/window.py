@@ -17,7 +17,6 @@ import numpy as np
 from ...io.bam import AlnBatch
 from ...ops.pileup import region_overlap_mask
 from .dp import Consensus, link_dp, traceback
-from .lq import repair_lq_regions
 from .msa import EdgeTable, build_edges, pack_keys
 from .tags import TagColumns, build_tags, reference_row
 
