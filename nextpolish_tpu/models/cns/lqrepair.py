@@ -42,6 +42,7 @@ HQ_MIN_QV = 60
 LQSEQ_MAX_CAN_COUNT = 60
 
 INT_TO_BASE = b"ATGC-NM"
+INT_TO_BASE_ARR = np.frombuffer(INT_TO_BASE, dtype=np.uint8).copy()
 # base_to_int (lib/ctg_cns.c:58-67): note lowercase n/m map to 4
 BASE_TO_INT = np.full(256, 4, dtype=np.uint8)
 for _c, _v in zip(b"ACGMNT", (0, 3, 2, 6, 5, 1)):
@@ -88,11 +89,14 @@ def get_l_del_regions(coverage, l_ins, l_del, cns: Consensus, read_type):
     n = len(pos)
     dels = []  # [s, e, l]
     ps = pe = 0
-    for i in range(1, n):
-        pi = pos[i]
-        if (l_del[pi] < coverage[pi] * DEL_MIN_DEPTH_RATIO
-                and pi < pos[i - 1] + DEL_MIN_LEN):
-            continue
+    # vector prefilter of the per-base skip test (exact same predicate)
+    posv = pos.astype(np.int64)
+    keep = (l_del[pos] >= coverage[pos] * DEL_MIN_DEPTH_RATIO)
+    keep[1:] |= posv[1:] >= posv[:-1] + DEL_MIN_LEN
+    cand_i = np.flatnonzero(keep)
+    cand_i = cand_i[cand_i >= 1]
+    for i in cand_i:
+        i = int(i)
         if ps <= i <= pe:
             continue
         s = i - 1
@@ -186,10 +190,11 @@ def get_lqseqs_from_gap(coverage, l_ins, l_del, cns: Consensus,
     dels = get_l_del_regions(coverage, l_ins, l_del, cns, read_type)
     dels_i = len(dels)
 
-    for i in range(n - 1, -1, -1):
+    # vector prefilter: the walk only acts where l_ins >= cov * ratio1
+    cand_i = np.flatnonzero(l_ins[pos] >= coverage[pos] * ratio1)[::-1]
+    for i in cand_i:
+        i = int(i)
         pi = pos[i]
-        if l_ins[pi] < coverage[pi] * ratio1:
-            continue
         if l_ins[pi] < coverage[pi] * GAP_MIN_RATIO2:
             s = int(pi) - GAP_FLANK_LEN
             e = int(pi) + GAP_FLANK_LEN
@@ -307,6 +312,7 @@ def _seed_select(lq: LqSeq, kmer_variant: bool) -> int:
     """Shared tail of generate_lqseqs_from_tags[_kmer] (:873-963): length
     filters, 8-mer kscore ranking, POA seed.  Returns the region's
     contribution to max_aln_length (0 if the region was dropped)."""
+    from ...native import poa_consensus as native_poa
     from .poadag import poa_to_consensus
 
     seqs = lq.seqs
@@ -374,7 +380,9 @@ def _seed_select(lq: LqSeq, kmer_variant: bool) -> int:
         j0 = lq.indexs
         k = 2 if j0 + 2 < lq.indexe else lq.indexe - j0 + 1
     if len(seqs[0][0]) < 20000:
-        lq.sudoseed = poa_to_consensus([s[0] for s in seqs[j0 : j0 + k]])
+        cand = [s[0] for s in seqs[j0 : j0 + k]]
+        seed = native_poa(cand)
+        lq.sudoseed = seed if seed is not None else poa_to_consensus(cand)
     else:
         lq.sudoseed = seqs[0][0]
     lq.sudoseed_len = len(lq.sudoseed)
@@ -405,19 +413,22 @@ def generate_lqseqs_from_tags(lqseqs: list[LqSeq], cols, kmer_variant: bool
             lq = lqseqs[k]
             if lq.len >= LQSEQ_MAX_CAN_COUNT:
                 continue
-            p = lq.start - t_s
-            chars = []
-            while p < len(t) and t[p] <= lq.end:
-                if t[p] >= lq.start and q[p] != 4:
-                    chars.append(INT_TO_BASE[q[p]])
-                p += 1
+            # the C scans from column index start - aln_t_s (insertions
+            # only delay t_pos, so t[p0] <= start) until t_pos > end;
+            # t is non-decreasing, so this is the [p0, hi) slice
+            p0 = lq.start - t_s
+            hi = int(np.searchsorted(t, lq.end, side="right"))
+            tv = t[p0:hi]
+            qv_ = q[p0:hi]
+            sel = qv_[(tv >= lq.start) & (qv_ != 4)]
+            chars = INT_TO_BASE_ARR[sel]
             index = len(chars)
             if kmer_variant:
                 accept = index > 0
             else:
                 accept = (lq.l and index) or index > lq.end - lq.start + 1
             if accept:
-                seq = bytes(chars)
+                seq = chars.tobytes()
                 lq.seqs.append([seq, lq.len, 0])
                 if index > lq.lqcount:
                     lq.lqcount = index

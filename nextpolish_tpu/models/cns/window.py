@@ -67,12 +67,20 @@ def window_consensus(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
         ridx=np.array([-1], dtype=np.int64),
     )
     merged = _concat_cols([ref_cols, cols])
-    edges = build_edges(merged)
-    score, best = link_dp(edges, coverage, read_type)
     # HIFI's _lq flow marks low-qv with DAG_MIN_QV=80 (:1794-1798)
     lq_min_qv = 80 if read_type == "hifi" else 20
-    cns = traceback(edges, score, best, coverage, L, read_type, min_cov,
-                    lq_min_qv=lq_min_qv)
+    from ...native import cns_dp as native_cns_dp
+
+    nat = native_cns_dp(merged.t_pos, merged.delta, merged.q_base,
+                        merged.row_off, coverage, L, read_type, min_cov,
+                        lq_min_qv)
+    if nat is not None:
+        cns = Consensus(nat[0], nat[1], nat[2])
+    else:
+        edges = build_edges(merged)
+        score, best = link_dp(edges, coverage, read_type)
+        cns = traceback(edges, score, best, coverage, L, read_type, min_cov,
+                        lq_min_qv=lq_min_qv)
     if repair and len(cns.pos):
         if read_type == "hifi":
             from .lqrepair import repair_hifi

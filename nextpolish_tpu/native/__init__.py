@@ -41,6 +41,11 @@ def _load():
     ]
     lib.npt_bam_count.restype = ctypes.c_int
     lib.npt_bam_fill.restype = ctypes.c_int
+    if hasattr(lib, "npt_cns_dp"):
+        lib.npt_cns_dp.restype = ctypes.c_longlong
+        lib.npt_cns_free.restype = None
+    if hasattr(lib, "npt_poa_consensus"):
+        lib.npt_poa_consensus.restype = ctypes.c_longlong
     _LIB = lib
     return _LIB
 
@@ -116,3 +121,69 @@ def bam_scan(data: bytes, off: int):
     cols["qnames"] = qnames[: qused.value].tobytes()
     cols["n"] = n
     return cols
+
+
+READ_TYPE_CODE = {"ont": 0, "clr": 1, "rs": 2, "hifi": 3}
+
+
+def cns_dp(t_pos, delta, q_base, row_off, coverage, length: int,
+           read_type: str, min_cov: int, lq_min_qv: int):
+    """Native per-window consensus DP (cns_dp.cpp); returns
+    (pos[int32], base[uint8], qv[int32]) or None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "npt_cns_dp"):
+        return None
+    t_pos = np.ascontiguousarray(t_pos, dtype=np.int32)
+    delta = np.ascontiguousarray(delta, dtype=np.int16)
+    q_base = np.ascontiguousarray(q_base, dtype=np.uint8)
+    row_off = np.ascontiguousarray(row_off, dtype=np.int64)
+    coverage = np.ascontiguousarray(coverage, dtype=np.int32)
+    out_pos = ctypes.POINTER(ctypes.c_int32)()
+    out_base = ctypes.POINTER(ctypes.c_uint8)()
+    out_qv = ctypes.POINTER(ctypes.c_int32)()
+    n = lib.npt_cns_dp(
+        t_pos.ctypes.data_as(ctypes.c_void_p),
+        delta.ctypes.data_as(ctypes.c_void_p),
+        q_base.ctypes.data_as(ctypes.c_void_p),
+        row_off.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_longlong(len(row_off) - 1),
+        coverage.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_longlong(length),
+        READ_TYPE_CODE[read_type], min_cov, lq_min_qv,
+        ctypes.byref(out_pos), ctypes.byref(out_base), ctypes.byref(out_qv),
+    )
+    if n < 0:
+        return None
+    try:
+        pos = np.ctypeslib.as_array(out_pos, shape=(n,)).copy() if n else \
+            np.empty(0, np.int32)
+        base = np.ctypeslib.as_array(out_base, shape=(n,)).copy() if n else \
+            np.empty(0, np.uint8)
+        qv = np.ctypeslib.as_array(out_qv, shape=(n,)).copy() if n else \
+            np.empty(0, np.int32)
+    finally:
+        for ptr in (out_pos, out_base, out_qv):
+            if ptr:
+                lib.npt_cns_free(ptr)
+    return pos, base, qv
+
+
+def poa_consensus(seqs):
+    """Native POA (poa.cpp); returns consensus bytes or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "npt_poa_consensus"):
+        return None
+    blob = b"".join(seqs)
+    offs = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offs[1:])
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.npt_poa_consensus(blob, offs.ctypes.data_as(ctypes.c_void_p),
+                              ctypes.c_longlong(len(seqs)),
+                              ctypes.byref(out))
+    if n < 0:
+        return None
+    try:
+        return ctypes.string_at(out, n)
+    finally:
+        if out:
+            lib.npt_cns_free(out)

@@ -1,0 +1,99 @@
+"""Native (C++) consensus kernels must match the pure-Python reference
+implementations byte-for-byte."""
+import numpy as np
+import pytest
+
+from nextpolish_tpu import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="libnpt.so unavailable")
+
+
+def _random_cols(rng, L=400, n_rows=25):
+    from nextpolish_tpu.models.cns.tags import TagColumns
+
+    all_t, all_d, all_q, offs = [], [], [], [0]
+    aln_s, aln_e = [], []
+    # reference row
+    all_t.append(np.arange(L, dtype=np.int32))
+    all_d.append(np.zeros(L, dtype=np.int16))
+    all_q.append(rng.integers(0, 4, L).astype(np.uint8))
+    offs.append(L)
+    aln_s.append(0)
+    aln_e.append(L - 1)
+    for _ in range(n_rows):
+        s = int(rng.integers(0, L // 3))
+        e = int(rng.integers(2 * L // 3, L))
+        ts, ds, qs = [], [], []
+        for p in range(s, e):
+            ts.append(p)
+            ds.append(0)
+            qs.append(int(rng.integers(0, 5)))  # incl gaps
+            if rng.random() < 0.08:
+                for d in range(1, int(rng.integers(1, 4)) + 1):
+                    ts.append(p)
+                    ds.append(d)
+                    qs.append(int(rng.integers(0, 4)))
+        all_t.append(np.array(ts, dtype=np.int32))
+        all_d.append(np.array(ds, dtype=np.int16))
+        all_q.append(np.array(qs, dtype=np.uint8))
+        offs.append(offs[-1] + len(ts))
+        aln_s.append(s)
+        aln_e.append(e - 1)
+    cols = TagColumns(
+        read_of=np.concatenate([np.full(len(t), i, np.int32)
+                                for i, t in enumerate(all_t)]),
+        t_pos=np.concatenate(all_t), delta=np.concatenate(all_d),
+        q_base=np.concatenate(all_q),
+        row_off=np.array(offs, dtype=np.int64),
+        aln_t_s=np.array(aln_s, dtype=np.int32),
+        aln_t_e=np.array(aln_e, dtype=np.int32),
+        ridx=np.arange(len(aln_s), dtype=np.int64))
+    coverage = np.zeros(L, dtype=np.int32)
+    d0 = cols.delta == 0
+    np.add.at(coverage, cols.t_pos[d0], 1)
+    return cols, coverage, L
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("read_type", ["ont", "clr", "hifi", "rs"])
+def test_native_dp_matches_numpy(seed, read_type):
+    from nextpolish_tpu.models.cns.dp import link_dp, traceback
+    from nextpolish_tpu.models.cns.msa import build_edges
+
+    rng = np.random.default_rng(seed)
+    cols, coverage, L = _random_cols(rng)
+    edges = build_edges(cols)
+    score, best = link_dp(edges, coverage, read_type)
+    cpu = traceback(edges, score, best, coverage, L, read_type, 4, 20)
+    nat = native.cns_dp(cols.t_pos, cols.delta, cols.q_base, cols.row_off,
+                        coverage, L, read_type, 4, 20)
+    assert nat is not None
+    assert np.array_equal(cpu.pos, nat[0])
+    assert cpu.base.tobytes() == nat[1].tobytes()
+    assert np.array_equal(cpu.qv, nat[2])
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_native_poa_matches_python(seed):
+    from nextpolish_tpu.models.cns.poadag import poa_to_consensus
+
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(2, 7))
+    L = int(rng.integers(20, 150))
+    base = rng.integers(0, 4, L)
+    seqs = []
+    for _ in range(k):
+        s = base.copy()
+        for _ in range(int(rng.integers(0, 8))):
+            p = int(rng.integers(0, len(s)))
+            r = rng.random()
+            if r < 0.4:
+                s[p] = rng.integers(0, 4)
+            elif r < 0.7:
+                s = np.delete(s, p)
+            else:
+                s = np.insert(s, p, rng.integers(0, 4))
+        seqs.append(bytes(b"ATGC"[int(c)] for c in s) or b"A")
+    assert native.poa_consensus(seqs) == poa_to_consensus(seqs)

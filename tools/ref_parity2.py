@@ -121,7 +121,8 @@ def main():
     read_type = sys.argv[3] if len(sys.argv) > 3 else "ont"
     with open(batch_pkl, "rb") as f:
         batch = pickle.load(f)
-    workdir = "/tmp/refparity2"
+    tag = os.path.splitext(os.path.basename(batch_pkl))[0]
+    workdir = f"/tmp/refparity2_{tag}_{read_type}"
     os.makedirs(workdir, exist_ok=True)
     import shutil
 
