@@ -115,52 +115,66 @@ def _concat_cols(parts):
 
 def stitch(parts: list[tuple[int, Consensus]], overlap: int, k: int = 50
            ) -> bytes:
-    """Join window consensi on an exact k-base anchor inside the overlap
-    (link_consensus, lib/ctg_cns.c:3121-3223).
+    """Join window consensi on a k-base exact anchor inside the overlap —
+    exact port of link_consensus (lib/ctg_cns.c:3121-3223, split inactive).
 
-    parts: [(window_start, Consensus)] in order."""
+    parts: [(window_start aka uncorrected_len, Consensus)] in order."""
+    n = len(parts)
+    if n == 0:
+        return b""
+    lstrip = [0] * n
+    rstrip = [0] * n
+    s_half = overlap // 2
+    for i in range(n - 1):
+        cur_p, cur = parts[i]
+        nxt_p, nxt = parts[i + 1]
+        cpos, cbase = cur.pos, cur.base
+        npos, nbase = nxt.pos, nxt.base
+        cl = len(cpos)
+        rs = ls = s_half
+        while cpos[cl - rs] < cpos[cl - 1] - s_half:
+            rs -= 1
+        while cpos[cl - rs] > cpos[cl - 1] - s_half:
+            rs += 1
+        while npos[ls] < npos[0] + s_half:
+            ls += 1
+        while npos[ls] > npos[0] + s_half:
+            ls -= 1
+        l = 0
+        p = nxt_p - cur_p
+        guard = 0
+        limit = (cl + len(npos)) * 2 + 1000
+        while l < k:
+            guard += 1
+            if guard > limit:
+                raise RuntimeError("window stitch found no anchor")
+            j = int(cpos[cl - rs]) - int(npos[ls])
+            if j == p and cbase[cl - rs] == nbase[ls]:
+                l += 1
+                ls -= 1
+                rs += 1
+            else:
+                l = 0
+                if j > p:
+                    ls += 1
+                elif j < p:
+                    ls -= 1
+                else:
+                    d = int(cpos[cl - rs]) + cur_p - 1
+                    while int(cpos[cl - rs]) + cur_p > d:
+                        rs += 1
+                    while int(npos[ls]) + nxt_p > d:
+                        ls -= 1
+        rstrip[i] = rs
+        lstrip[i + 1] = ls
+    if n > 1:
+        rstrip[n - 2] -= k
+        lstrip[n - 1] += k
     out = bytearray()
-    for i, (ws, cns) in enumerate(parts):
-        seq = cns.base.tobytes()
-        gpos = cns.pos.astype(np.int64) + ws
-        if i == 0:
-            take_from = 0
-        else:
-            # find the anchor chosen when emitting the previous window
-            take_from = _first_at_or_after(gpos, prev_cut_gpos)
-            # skip anchor duplication: advance past bases already emitted
-            take_from = _match_anchor(out, seq, gpos, take_from, k)
-        if i + 1 < len(parts):
-            next_ws = parts[i + 1][0]
-            mid = next_ws + overlap // 2
-            cut = _first_at_or_after(gpos, mid)
-            prev_cut_gpos = gpos[cut] if cut < len(gpos) else (
-                gpos[-1] + 1 if len(gpos) else mid
-            )
-        else:
-            cut = len(seq)
-        out += seq[take_from:cut]
+    for i in range(n):
+        cns = parts[i][1]
+        out += cns.base[lstrip[i] : len(cns.pos) - rstrip[i]].tobytes()
     return bytes(out)
-
-
-def _first_at_or_after(gpos: np.ndarray, target: int) -> int:
-    return int(np.searchsorted(gpos, target, side="left"))
-
-
-def _match_anchor(out: bytearray, seq: bytes, gpos: np.ndarray,
-                  start: int, k: int) -> int:
-    """Align the window seam on an exact k-mer: search near `start` for a
-    run matching the tail of `out` (upper-cased comparison)."""
-    if len(out) < k or start >= len(seq):
-        return start
-    tail = bytes(out[-k:]).upper()
-    lo = max(start - 4 * k, 0)
-    hi = min(start + 4 * k, len(seq) - 1)
-    window = seq[lo:hi].upper()
-    j = window.find(tail)
-    if j >= 0:
-        return lo + j + k
-    return start
 
 
 def consensus_for_contig(batch: AlnBatch, tid: int, contig: bytes,

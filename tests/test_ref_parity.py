@@ -143,3 +143,42 @@ def test_ctg_cns_byte_parity(ref2_lib, tmp_path, seed, read_type):
     assert ours == ref, (
         f"len ours={len(ours)} ref={len(ref)} "
         f"upper_eq={ours.upper() == ref.upper()}")
+
+
+def test_window_stitch_byte_parity(ref2_lib, tmp_path):
+    """Multi-window consensus + link_consensus stitch must match the
+    reference byte-for-byte (overlap shrunk via the oracle's test hook)."""
+    import ctypes
+
+    from ref_parity import batch_to_bam, write_fai
+    from ref_parity2 import READS_TYPE
+
+    from util_sim import make_draft, rand_seq, records_to_batch, simulate_reads
+
+    from nextpolish_tpu.models.cns.window import consensus_for_contig
+
+    os.environ["NPT_TEST_OVERLAP"] = "8000"
+    try:
+        rng = np.random.default_rng(5)
+        true = rand_seq(rng, 120_000)
+        draft, ops = make_draft(rng, true, n_edits=40)
+        recs = simulate_reads(rng, true, ops, read_len=2500, step=149,
+                              err_rate=0.02)
+        batch = records_to_batch(recs, len(draft))
+        fa = tmp_path / "genome.fa"
+        fa.write_bytes(b">ctg1\n" + draft + b"\n")
+        write_fai(str(fa))
+        bam = tmp_path / "lgs.sort.bam"
+        batch_to_bam(batch, str(bam))
+        (tmp_path / "bam.list").write_text(str(bam) + "\n")
+        refs = ref2_lib.read_ref(str(fa).encode(), None, 0)
+        cfg = ref2_lib.ctg_cns_init(40_000, READS_TYPE["ont"], 0,
+                                    0.8, 0.8, 0.8)
+        res = ref2_lib.ctg_cns_core(cfg, ctypes.byref(refs.contents.ref[0]),
+                                    str(tmp_path / "bam.list").encode())
+        ref_seq = ctypes.string_at(res.contents.data[0].seq)
+        ours = consensus_for_contig(batch, 0, draft, "ont", window=40_000,
+                                    overlap=8_000)
+        assert ours == ref_seq
+    finally:
+        os.environ.pop("NPT_TEST_OVERLAP", None)

@@ -54,6 +54,35 @@ echo "void __npt_stub_lzma(void){}" > $STUBLIB/l.c
 (cd $STUBLIB && gcc -c b.c l.c && ar rcs libbz2.a b.o && ar rcs liblzma.a l.o)
 
 cd $DST/lib
+
+# Test instrumentation for the scratch copy (never touches the read-only
+# reference): NPT_NO_LQ disables LQ repair to expose the pre-repair
+# consensus; NPT_TEST_OVERLAP shrinks the window overlap so multi-window
+# stitching is testable on small contigs.
+python3 - <<'PYEOF'
+src = open('ctg_cns.c').read()
+old = """	int lqseqs_count = 0;
+	lqseq *lqseqs = get_lqseqs_from_gap(msa, &consensus, &lqseqs_count, clusters);
+	free_msa(msa, len);"""
+new = """	int lqseqs_count = 0;
+	lqseq *lqseqs = get_lqseqs_from_gap(msa, &consensus, &lqseqs_count, clusters);
+	if (getenv("NPT_NO_LQ")) lqseqs_count = 0;
+	free_msa(msa, len);"""
+assert src.count(old) == 1
+src = src.replace(old, new)
+old = """	cfg->consensus_t.i_m = 5;
+	cfg->consensus_t.s = 1000000;
+	if (!consensus_w) consensus_w = 40000000;"""
+new = """	cfg->consensus_t.i_m = 5;
+	cfg->consensus_t.s = 1000000;
+	{ char *e = getenv("NPT_TEST_OVERLAP"); if (e) cfg->consensus_t.s = atoi(e); }
+	if (!consensus_w) consensus_w = 40000000;"""
+assert src.count(old) == 1
+src = src.replace(old, new)
+open('ctg_cns.c','w').write(src)
+print("instrumentation patches applied")
+PYEOF
+
 # Build libhts.a only (the .pico shared-lib objects need real bz2/lzma
 # headers at their default CFLAGS, and the lib/Makefile `htslib_` target
 # re-invokes htslib's full default target — so bypass make for the link).
