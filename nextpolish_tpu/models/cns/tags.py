@@ -137,7 +137,27 @@ def build_tags(batch: AlnBatch, ridx: np.ndarray, contig_ascii: np.ndarray,
         if not tpos.size:
             kept.append(False)
             continue
-        # match flags: M columns matching the draft
+        # window clip FIRST (clip_aln :2809 runs before get_align_shift):
+        # keep columns at positions [win_s, win_e); a clipped read with
+        # <= 501 columns left is dropped (clip_aln's aln_len=10 path)
+        clipped = tpos[0] < win_s or tpos[-1] >= win_e
+        if clipped:
+            inwin = (tpos >= win_s) & (tpos < win_e)
+            if not inwin.any():
+                kept.append(False)
+                continue
+            lo = int(np.argmax(inwin))
+            hi = len(inwin) - int(np.argmax(inwin[::-1]))
+            if hi - lo <= 501:
+                kept.append(False)
+                continue
+            tpos = tpos[lo:hi]
+            qbase = qbase[lo:hi]
+            is_ins = is_ins[lo:hi]
+            # clip_aln skips leading insertions
+            while is_ins.size and is_ins[0]:
+                tpos, qbase, is_ins = tpos[1:], qbase[1:], is_ins[1:]
+        # anchor trim: keep between the first/last runs of 8 exact matches
         tmatch = (~is_ins) & (qbase != GAP) & (
             qbase == ref_cns[np.clip(tpos, 0, len(ref_cns) - 1)]
         ) & (tpos >= 0) & (tpos < len(ref_cns))
@@ -148,20 +168,9 @@ def build_tags(batch: AlnBatch, ridx: np.ndarray, contig_ascii: np.ndarray,
         tpos = tpos[s_i : e_i + 1]
         qbase = qbase[s_i : e_i + 1]
         is_ins = is_ins[s_i : e_i + 1]
-        # clip to window
-        inwin = (tpos >= win_s) & (tpos < win_e)
-        if not inwin.any():
-            kept.append(False)
-            continue
-        lo = int(np.argmax(inwin))
-        hi = len(inwin) - int(np.argmax(inwin[::-1]))
-        tpos = tpos[lo:hi]
-        qbase = qbase[lo:hi]
-        is_ins = is_ins[lo:hi]
-        # after clipping the row must start on a non-insertion column
-        while is_ins.size and is_ins[0]:
-            tpos, qbase, is_ins = tpos[1:], qbase[1:], is_ins[1:]
-        if not tpos.size or tpos[-1] - tpos[0] < min_span:
+        # span filter (:3542): keep when aln_t_s <= aln_t_e - 500 with the
+        # exclusive end, i.e. span count >= 500 positions
+        if not tpos.size or tpos[-1] - tpos[0] + 1 < min_span:
             kept.append(False)
             continue
         kept.append(True)
