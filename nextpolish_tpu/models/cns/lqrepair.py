@@ -177,10 +177,31 @@ def _lqseqs_merge_del(d, lqseqs):
         lqseqs.append(LqSeq(ds, de, dl))
 
 
+def _lqseqs_merge_cluster(clu, lqseqs):
+    """get_lqseqs_from_cluster (:1518): merge a gap cluster's range into
+    the (descending) lqseqs list with l=1."""
+    if not clu.i_m:
+        return
+    index = len(lqseqs) - 1
+    if index >= 0:
+        while index > 0 and lqseqs[index].start <= clu.r_e:
+            index -= 1
+        if lqseqs[index].start > clu.r_e:
+            index += 1
+            if index >= len(lqseqs):
+                lqseqs.append(LqSeq(0, 0, 0))
+        lqseqs[index].start = clu.r_s
+        lqseqs[index].end = clu.r_e
+        lqseqs[index].l = 1
+        del lqseqs[index + 1:]
+    else:
+        lqseqs.append(LqSeq(clu.r_s, clu.r_e, 1))
+
+
 def get_lqseqs_from_gap(coverage, l_ins, l_del, cns: Consensus,
-                        read_type) -> list[LqSeq]:
+                        read_type, clusters=()) -> list[LqSeq]:
     """LQ regions in build (descending-coordinate) order
-    (get_lqseqs_from_gap :1630; gap clusters not active for <100kb)."""
+    (get_lqseqs_from_gap :1630)."""
     pos, base, qv = cns.pos, cns.base, cns.qv
     n = len(pos)
     lqseqs: list[LqSeq] = []
@@ -189,6 +210,7 @@ def get_lqseqs_from_gap(coverage, l_ins, l_del, cns: Consensus,
     ratio1 = GAP_MIN_RATIO1[read_type]
     dels = get_l_del_regions(coverage, l_ins, l_del, cns, read_type)
     dels_i = len(dels)
+    clusters_i = len(clusters)
 
     # vector prefilter: the walk only acts where l_ins >= cov * ratio1
     cand_i = np.flatnonzero(l_ins[pos] >= coverage[pos] * ratio1)[::-1]
@@ -236,6 +258,11 @@ def get_lqseqs_from_gap(coverage, l_ins, l_del, cns: Consensus,
             while dels_i and ep < dels[dels_i - 1][0]:
                 _lqseqs_merge_del(dels[dels_i - 1], lqseqs)
                 dels_i -= 1
+            while clusters_i > 0 and ep < clusters[clusters_i - 1].r_s:
+                _lqseqs_merge_cluster(clusters[clusters_i - 1], lqseqs)
+                clusters_i -= 1
+                while clusters_i > 0 and not clusters[clusters_i - 1].i_m:
+                    clusters_i -= 1
             lqseqs.append(LqSeq(sp, ep, 0))
         else:
             lqseqs[-1].start = sp
@@ -389,8 +416,8 @@ def _seed_select(lq: LqSeq, kmer_variant: bool) -> int:
     return lq.lqcount + lq.sudoseed_len
 
 
-def generate_lqseqs_from_tags(lqseqs: list[LqSeq], cols, kmer_variant: bool
-                              ) -> int:
+def generate_lqseqs_from_tags(lqseqs: list[LqSeq], cols, kmer_variant: bool,
+                              clusters=()) -> int:
     """Candidate collection + seed construction
     (generate_lqseqs_from_tags :822 / _kmer :636).  cols = the window's
     merged TagColumns (row 0 = reference).  Returns max_aln_length."""
@@ -437,10 +464,15 @@ def generate_lqseqs_from_tags(lqseqs: list[LqSeq], cols, kmer_variant: bool
                 lq.sudoseed_len += 1
 
     max_aln_length = 0
+    clusters_i = len(clusters) - 1
     for lq in lqseqs:
-        # gap-cluster candidates (l == 1) need the structural layer —
-        # inactive for contigs under 100 kb
-        if not kmer_variant and lq.l > 1 and lq.len > 4:
+        if lq.l == 1:
+            while clusters_i >= 0 and not clusters[clusters_i].i_m:
+                clusters_i -= 1
+            if clusters_i >= 0:
+                _inject_cluster_seqs(lq, clusters[clusters_i])
+                clusters_i -= 1
+        elif not kmer_variant and lq.l > 1 and lq.len > 4:
             _remove_short_lqseq(lq)
         if kmer_variant:
             if not lq.len:
@@ -877,18 +909,34 @@ def update_consensus_trimed(lqseqs: list[LqSeq], cns: Consensus) -> Consensus:
                      np.array(out_qv, dtype=np.int32))
 
 
+def _inject_cluster_seqs(lq: LqSeq, clu):
+    """generate_lqseqs_from_cluster (:592)."""
+    from .structural import cluster_candidate_seqs
+
+    seqs, max_len = cluster_candidate_seqs(
+        clu, LQSEQ_MAX_CAN_COUNT - lq.len)
+    for seq in seqs:
+        lq.seqs.append([seq, lq.len, 0])
+        lq.len += 1
+    if max_len > lq.lqcount:
+        lq.lqcount = max_len
+    assert lq.start == clu.r_s
+
+
 def repair(cns: Consensus, cols, coverage, l_ins, l_del,
-           read_type: str) -> Consensus:
+           read_type: str, clusters=()) -> Consensus:
     """ONT/CLR/RS repair path (generate_cns_from_best_score :1828-1874)."""
-    lqseqs = get_lqseqs_from_gap(coverage, l_ins, l_del, cns, read_type)
+    lqseqs = get_lqseqs_from_gap(coverage, l_ins, l_del, cns, read_type,
+                                 clusters)
     if not lqseqs:
         return cns
-    generate_lqseqs_from_tags(lqseqs, cols, kmer_variant=False)
+    generate_lqseqs_from_tags(lqseqs, cols, kmer_variant=False,
+                              clusters=clusters)
     iterate_refine(lqseqs, read_type, 2)
     return update_consensus_trimed(lqseqs, cns)
 
 
-def hifi_lq_regions(cns: Consensus, coverage) -> list[LqSeq]:
+def hifi_lq_regions(cns: Consensus, coverage, clusters=()) -> list[LqSeq]:
     """HIFI LQ detection: qv-run scan in traceback (reverse) order
     (generate_cns_from_best_score_lq :1751-1793), DAG_MIN_QV = 80."""
     n = len(cns.pos)
@@ -896,6 +944,7 @@ def hifi_lq_regions(cns: Consensus, coverage) -> list[LqSeq]:
     rqv = cns.qv[::-1]
     lq_min_length = 2
     lqseqs: list[LqSeq] = []
+    clusters_i = len(clusters)
     lq = 0
     lq_s = -1
     lq_e = -1
@@ -915,17 +964,25 @@ def hifi_lq_regions(cns: Consensus, coverage) -> list[LqSeq]:
             if lqseqs and rpos[s_i] >= lqseqs[-1].start:
                 lqseqs[-1].start = int(rpos[e_i])
             else:
+                while (clusters_i > 0
+                       and rpos[s_i] < clusters[clusters_i - 1].r_s):
+                    _lqseqs_merge_cluster(clusters[clusters_i - 1], lqseqs)
+                    clusters_i -= 1
+                    while (clusters_i > 0
+                           and not clusters[clusters_i - 1].i_m):
+                        clusters_i -= 1
                 lqseqs.append(LqSeq(int(rpos[e_i]), int(rpos[s_i]), 4))
             lq = 0
             lq_s = -1
     return lqseqs
 
 
-def repair_hifi(cns: Consensus, cols, coverage) -> Consensus:
+def repair_hifi(cns: Consensus, cols, coverage, clusters=()) -> Consensus:
     """HIFI repair path (generate_cns_from_best_score_lq :1727-1826)."""
-    lqseqs = hifi_lq_regions(cns, coverage)
+    lqseqs = hifi_lq_regions(cns, coverage, clusters)
     if not lqseqs:
         return cns
-    generate_lqseqs_from_tags(lqseqs, cols, kmer_variant=True)
+    generate_lqseqs_from_tags(lqseqs, cols, kmer_variant=True,
+                              clusters=clusters)
     iterate_refine(lqseqs, "hifi", 2)
     return update_consensus_trimed(lqseqs, cns)

@@ -184,8 +184,10 @@ class Pipeline:
             read_type = (self.cfg.lgs_read_type or "ont") if task == 5 else "hifi"
             from .models.ctg_cns import ctg_cns_contig
 
+            # the pipeline driver passes -sp to disable contig splitting
+            # between rounds (source/nextPolish:76-83)
             engine = lambda name, seq: ctg_cns_contig(
-                name, seq, batch, read_type, split=task == 5
+                name, seq, batch, read_type, split=0
             )
         else:
             raise ValueError(f"unknown task {task}")

@@ -80,9 +80,11 @@ def main(argv=None):
     p.add_argument("-r", "--read_type", required=True,
                    choices=["ont", "clr", "hifi", "rs"])
     p.add_argument("-o", "--out", default="stdout")
-    p.add_argument("-sp", "--split", action="store_true",
-                   help="split contigs at structural break points "
-                        "(structural layer pending; accepted for parity)")
+    # reference semantics (lib/nextpolish2.py:242-250): splitting is ON
+    # by default in standalone mode; -sp turns it OFF
+    p.add_argument("-sp", "--split", action="store_false", default=True,
+                   help="do not split corrected contigs at structural "
+                        "break points")
     p.add_argument("-w", "--window", type=str, default="5M")
     p.add_argument("-u", "--uppercase", action="store_true")
     p.add_argument("-p", "--process", type=int, default=1)
@@ -112,9 +114,11 @@ def main(argv=None):
         if name in done:
             log.warning("Skip polished seq: %s", name)
             continue
-        parts = ctg_cns_contig(name, genome.fetch(name).seq, batch,
-                               args.read_type, split=args.split,
-                               window=window)
+        rec = genome.fetch(name)
+        parts = ctg_cns_contig(name, rec.seq, batch,
+                               args.read_type, split=1 if args.split else 0,
+                               window=window,
+                               qv_desc=rec.comment or None)
         for pname, seq in parts:
             if len(seq) <= 10:
                 log.critical("polished seq %s is too short (%d bp)",

@@ -105,7 +105,7 @@ def test_window_consensus_clean():
     draft[2000] = ord(b"G") if true[2000] != ord(b"G") else ord(b"T")
     draft = bytes(draft[:3000]) + bytes(draft[3002:])  # 2bp deletion
     batch, idx = _make_batch(rng, true, draft, n_reads=40, err=0.01)
-    out = consensus_for_contig(batch, 0, draft, "ont")
+    out = consensus_for_contig(batch, 0, draft, "ont")[0]
     d_before = _edit_distance(draft[:3500].upper(), true[:3500])
     d_after = _edit_distance(out[:3500].upper(), true[:3500])
     assert d_after < d_before
@@ -117,7 +117,7 @@ def test_window_consensus_ont_noise():
     true = rand_seq(rng, 5000)
     draft = _noisy(rng, true, 0.01, 0.01, 0.01)  # 3% draft error
     batch, idx = _make_batch(rng, true, draft, n_reads=60, err=0.02)
-    out = consensus_for_contig(batch, 0, draft, "ont")
+    out = consensus_for_contig(batch, 0, draft, "ont")[0]
     d_before = _edit_distance(draft.upper(), true)
     d_after = _edit_distance(out.upper(), true)
     assert d_after < d_before * 0.25, (d_before, d_after)

@@ -178,7 +178,112 @@ def test_window_stitch_byte_parity(ref2_lib, tmp_path):
                                     str(tmp_path / "bam.list").encode())
         ref_seq = ctypes.string_at(res.contents.data[0].seq)
         ours = consensus_for_contig(batch, 0, draft, "ont", window=40_000,
-                                    overlap=8_000)
+                                    overlap=8_000)[0]
         assert ours == ref_seq
+    finally:
+        os.environ.pop("NPT_TEST_OVERLAP", None)
+
+
+def test_structural_layer_byte_parity(ref2_lib, tmp_path):
+    """Contigs >100 kb with split reads activate the structural layer:
+    SA-tag gap clusters, depth track, low-depth split points.  Both split
+    modes must match the reference byte-for-byte."""
+    import ctypes
+
+    from ref_parity import write_fai
+    from ref_parity2 import READS_TYPE
+
+    from util_sim import rand_seq
+
+    from nextpolish_tpu.io import bam as bamio
+    from nextpolish_tpu.models.cns.window import consensus_for_contig
+
+    rng = np.random.default_rng(21)
+    LT = 150_000
+    true = rand_seq(rng, LT)
+    J = 80_000  # the draft has a 3 kb spurious insertion at J
+    draft = true[:J] + rand_seq(rng, 3_000) + true[J:]
+    HOLE = (40_000, 41_000)  # read gap -> low-depth split point
+    RL, STEP = 6000, 230
+    BASES = b"ACGT"
+
+    def mut(seq):
+        s = bytearray(seq)
+        for i in range(len(s)):
+            if rng.random() < 0.01:
+                s[i] = BASES[int(rng.integers(0, 4))]
+        return bytes(s)
+
+    def sa_aux(pos1, cigar):
+        return b"SAZ" + f"ctg1,{pos1},+,{cigar},60,0;".encode() + b"\x00"
+
+    import re
+
+    recs = []
+
+    def add(pos, cigstr, seq, flag=0, tags=b""):
+        cigar = np.array(
+            [(int(ln) << 4) | "MIDNSHP=X".index(op)
+             for ln, op in re.findall(r"(\d+)([MIDNSHP=X])", cigstr)],
+            dtype=np.uint32)
+        recs.append(dict(name=f"r{len(recs)}", flag=flag, tid=0, pos=pos,
+                         mapq=60, cigar=cigar,
+                         seq_nib=bamio.seq_to_nib(seq),
+                         qual=np.full(len(seq), 35, np.uint8), mtid=-1,
+                         mpos=-1, tlen=0, tags=tags))
+
+    for start in range(0, LT - RL + 1, STEP):
+        if not (start + RL <= HOLE[0] or start >= HOLE[1]):
+            continue
+        seq = mut(true[start : start + RL])
+        if start + RL <= J:
+            add(start, f"{RL}M", seq)
+        elif start >= J:
+            add(start + 3000, f"{RL}M", seq)
+        else:
+            left = J - start
+            right = RL - left
+            if left < 120 or right < 120:
+                if left >= right:
+                    add(start, f"{left}M{right}S", seq)
+                else:
+                    add(J + 3000, f"{left}S{right}M", seq)
+            else:
+                pri = f"{left}M{right}S"
+                sup = f"{left}S{right}M"
+                add(start, pri, seq, 0, sa_aux(J + 3001, sup))
+                add(J + 3000, sup, seq, 0x800, sa_aux(start + 1, pri))
+
+    recs.sort(key=lambda r: r["pos"])
+    fa = tmp_path / "genome.fa"
+    fa.write_bytes(b">ctg1\n" + draft + b"\n")
+    write_fai(str(fa))
+    bam = tmp_path / "lgs.sort.bam"
+    bamio.write_bam(str(bam),
+                    bamio.BamHeader("@HD\tVN:1.6\n", ["ctg1"], [len(draft)]),
+                    recs, index=True)
+    batch = bamio.read_bam(str(bam), with_names=True)
+    (tmp_path / "bam.list").write_text(str(bam) + "\n")
+
+    os.environ["NPT_TEST_OVERLAP"] = "20000"
+    try:
+        refs = ref2_lib.read_ref(str(fa).encode(), None, 0)
+        for split in (0, 1):
+            cfg = ref2_lib.ctg_cns_init(100_000, READS_TYPE["ont"], split,
+                                        0.8, 0.8, 0.8)
+            res = ref2_lib.ctg_cns_core(
+                cfg, ctypes.byref(refs.contents.ref[0]),
+                str(tmp_path / "bam.list").encode())
+            ref_parts = [ctypes.string_at(res.contents.data[j].seq)
+                         for j in range(res.contents.i_m)]
+            ours = consensus_for_contig(batch, 0, draft, "ont",
+                                        window=100_000, overlap=20_000,
+                                        split=split, contig_name="ctg1")
+            assert len(ours) == len(ref_parts), (split, len(ours),
+                                                 len(ref_parts))
+            for a, b in zip(ours, ref_parts):
+                assert a == b, (split, len(a), len(b))
+            if split == 1:
+                assert len(ref_parts) == 2  # the hole splits the contig
     finally:
         os.environ.pop("NPT_TEST_OVERLAP", None)

@@ -182,8 +182,9 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     from nextpolish_tpu.io.fasta import FastaIndex
-    from nextpolish_tpu.models.cns.tags import TagColumns, build_tags, reference_row
-    from nextpolish_tpu.models.cns.window import select_window_reads, _concat_cols
+    from nextpolish_tpu.models.cns.tags import (
+        TagColumns, WindowAccum, read_columns, trim_read_columns)
+    from nextpolish_tpu.models.cns.window import GAP_MIN_LEN, select_window_reads
 
     genome_fa = sys.argv[1]
     batch = pickle.load(open(sys.argv[2], "rb"))
@@ -194,16 +195,14 @@ def main():
         contig = np.frombuffer(fa.fetch(name).seq.upper(), np.uint8)
         L = len(contig)
         ridx = select_window_reads(batch, tid, 0, L, read_type)
-        cols, coverage, l_ins, l_del, max_delta, kept = build_tags(
-            batch, ridx, contig, 0, L)
-        rt, rd, rq = reference_row(contig, 0, L)
-        ref_cols = TagColumns(
-            read_of=np.full(L, -1, np.int32), t_pos=rt, delta=rd, q_base=rq,
-            row_off=np.array([0, L], dtype=np.int64),
-            aln_t_s=np.array([0], dtype=np.int32),
-            aln_t_e=np.array([L - 1], dtype=np.int32),
-            ridx=np.array([-1], dtype=np.int64))
-        merged = _concat_cols([ref_cols, cols])
+        accum = WindowAccum(contig, 0, L, GAP_MIN_LEN[read_type])
+        for r in ridx:
+            tr = trim_read_columns(*read_columns(batch, int(r)),
+                                   accum.ref_cns, 0, L)
+            if tr is not None:
+                accum.add_row(tr[0], tr[1], tr[2], int(r))
+        merged = accum.finish()
+        coverage = accum.coverage[:L]
         seq, rows = simulate(merged, coverage + 1, L, read_type)
         print(f"{name}: sim_len={len(seq)}")
         with open(f"/tmp/sim_{name}.pkl", "wb") as fh:
