@@ -34,7 +34,7 @@ def build_argparser():
     p.add_argument("-l", "--bam_lgs", help="sorted BAM of long reads "
                                            "(tasks 3/4)")
     p.add_argument("-t", "--task", type=int, required=True,
-                   choices=[1, 2, 3, 4])
+                   choices=[1, 2, 3, 4, 5])
     p.add_argument("-o", "--out", default="stdout")
     p.add_argument("-u", "--uppercase", action="store_true")
     p.add_argument("-p", "--process", type=int, default=1,
@@ -92,11 +92,16 @@ def main(argv=None):
         min_snp_factor_sgs=args.min_snp_factor_sgs,
     )
     genome = FastaIndex(args.genome)
-    if not args.bam_sgs:
-        log.critical("-s/--bam_sgs is required for tasks 1-4")
-    sgs = read_bam(args.bam_sgs)
-    cfg.read_tlen = estimate_read_tlen(sgs, cfg)
-    lgs = read_bam(args.bam_lgs) if args.bam_lgs else None
+    if args.task == 5:
+        # legacy lgspolish: only the long-read BAM is required
+        lgs = read_bam(args.bam_lgs or args.bam_sgs)
+        sgs = None
+    else:
+        if not args.bam_sgs:
+            log.critical("-s/--bam_sgs is required for tasks 1-4")
+        sgs = read_bam(args.bam_sgs)
+        cfg.read_tlen = estimate_read_tlen(sgs, cfg)
+        lgs = read_bam(args.bam_lgs) if args.bam_lgs else None
 
     if args.task == 1:
         from .models.score_chain import score_chain_contig as fn
@@ -110,6 +115,10 @@ def main(argv=None):
         from .models.snp_phase import snp_phase_contig as fn
 
         engine = lambda n, s: fn(n, s, sgs, lgs, cfg)
+    elif args.task == 5:
+        from .models.lgs_polish import lgspolish_contig as fn
+
+        engine = lambda n, s: fn(n, s, lgs, cfg)
     else:
         from .models.snp_valid import snp_valid_contig as fn
 

@@ -287,3 +287,33 @@ def test_structural_layer_byte_parity(ref2_lib, tmp_path):
                 assert len(ref_parts) == 2  # the hole splits the contig
     finally:
         os.environ.pop("NPT_TEST_OVERLAP", None)
+
+
+def test_lgspolish_byte_parity(ref_lib, tmp_path):
+    """Legacy engine-1 task 5 (lgspolish) must match the reference."""
+    import ctypes
+
+    from ref_parity import batch_to_bam, write_fai
+
+    from util_sim import make_draft, rand_seq, records_to_batch, simulate_reads
+
+    from nextpolish_tpu.models.lgs_polish import lgspolish_contig
+    from nextpolish_tpu.models.score_chain import AlgoConfig
+
+    rng = np.random.default_rng(9)
+    true = rand_seq(rng, 8000)
+    draft, ops = make_draft(rng, true, n_edits=14)
+    recs = simulate_reads(rng, true, ops, read_len=1500, step=101,
+                          err_rate=0.04)
+    batch = records_to_batch(recs, len(draft))
+    fa = tmp_path / "genome.fa"
+    fa.write_bytes(b">ctg1\n" + draft + b"\n")
+    write_fai(str(fa))
+    bam = tmp_path / "lgs.sort.bam"
+    batch_to_bam(batch, str(bam))
+    cfg_ref = ref_lib.config_init(str(fa).encode(), str(bam).encode(),
+                                  str(bam).encode())
+    res = ref_lib.lgspolish(b"ctg1", cfg_ref)
+    ref = ctypes.string_at(res.contents.contig)
+    ours = lgspolish_contig("ctg1", draft, batch, AlgoConfig())
+    assert ours == ref

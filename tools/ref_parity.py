@@ -42,7 +42,7 @@ def load_ref_lib(path=None):
     lib.config_init.restype = ctypes.c_void_p
     lib.config_init.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                 ctypes.c_char_p]
-    for fn in ("score_chain", "kmer_count", "snp_phase", "snp_valid"):
+    for fn in ("score_chain", "kmer_count", "snp_phase", "snp_valid", "lgspolish"):
         getattr(lib, fn).restype = ctypes.POINTER(PolishResult)
         getattr(lib, fn).argtypes = [ctypes.c_char_p, ctypes.c_void_p]
     return lib
