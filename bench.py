@@ -71,11 +71,15 @@ def main():
     from nextpolish_tpu.models.score_chain import AlgoConfig, score_chain_contig
 
     cfg = AlgoConfig()
-    # first pass pays XLA compilation; report the warm second pass
+    # first pass pays XLA compilation; report the best of 5 warm passes
+    # (the dev VM's 2-core host throttles erratically — best-of reduces
+    # scheduler noise; the kernels themselves are deterministic)
     _ = score_chain_contig("ctg", true, batch, cfg)
-    t0 = time.time()
-    polished = score_chain_contig("ctg", true, batch, cfg)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _i in range(5):
+        t0 = time.time()
+        polished = score_chain_contig("ctg", true, batch, cfg)
+        dt = min(dt, time.time() - t0)
     assert abs(len(polished) - len(true)) < len(true) * 0.01
     reads_per_s = n_reads / dt
     print(json.dumps({

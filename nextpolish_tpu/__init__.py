@@ -27,3 +27,21 @@ Layer map (mirrors SURVEY.md §1 of the reference, re-drawn TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the chain-scan jits are expensive to
+# compile (minutes on TPU); cache them across processes.  Harmless on CPU.
+import os as _os
+
+if not _os.environ.get("NPT_NO_JIT_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "nextpolish_tpu_xla"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # jax config may predate these options
+        pass

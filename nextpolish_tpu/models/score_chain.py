@@ -66,11 +66,12 @@ def estimate_read_tlen(batch: AlnBatch, cfg: AlgoConfig) -> int:
 
 
 def _coverage_of(counts: np.ndarray, choice: np.ndarray) -> np.ndarray:
-    """Per-cell fraction of the cell total supporting the chosen base
-    (base_get_coverage, lib/base.c:79-89) — raw counts, suffix match."""
-    by_suffix = counts.reshape(-1, S * S, S).sum(axis=1, dtype=np.int64)
-    return np.take_along_axis(by_suffix, choice[:, None].astype(np.int64),
-                              axis=1)[:, 0]
+    """Per-cell count supporting the chosen base (base_get_coverage,
+    lib/base.c:79-89) — sum of the chosen suffix lane only (gathering the
+    lane first avoids reducing all S lanes of the big counts tensor)."""
+    n = len(choice)
+    lane = counts.reshape(n, S * S, S)[np.arange(n), :, choice.astype(np.int64)]
+    return lane.sum(axis=1, dtype=np.int64)
 
 
 def run_chain_region(counts: np.ndarray, refkmer: np.ndarray,
@@ -89,16 +90,18 @@ def score_correct_region(state: ContigState, batch: AlnBatch,
     insert slots already exist in state.index.  Mutates state in place."""
     view = state.index.region_view(start, end)
     cell0 = int(state.index.cell_of[start - state.index.start])
-    p = pl.build_pileup(batch, levels, filterlevel, view, tid, contig_nib,
-                        cfg.trim_len_edge)
-    _apply_correction(state, p, cell0, rate, cfg)
+    p = pl.build_pileup_sparse(batch, levels, filterlevel, view, tid,
+                               contig_nib, cfg.trim_len_edge)
+    _apply_correction_sparse(state, p, cell0, rate, cfg)
 
     if filterlevel == 2:
         # no-depth rescue: re-parse FLAG_ZERO runs at filter level 1
-        # (lib/contig.c:721-733)
+        # (lib/contig.c:721-733); all regions run in one batched launch
         nodepth = find_regions(state, start, end, gap=0, con=0,
                                flag_bit=FLAG_ZERO, extend=False,
                                ext_len_edge=cfg.ext_len_edge)
+        problems = []
+        metas = []
         for rs, re in merge_regions(nodepth):
             sub = state.index.region_view(rs, re)
             sub_cell0 = int(state.index.cell_of[rs - state.index.start])
@@ -108,17 +111,59 @@ def score_correct_region(state: ContigState, batch: AlnBatch,
                                  cfg.trim_len_edge)
             extra = pl.sparse_counts(ex.cells, ex.kmers(), sub.n_cells)
             counts = np.minimum(
-                p.counts[lo:hi].astype(np.int32)
+                p.dense_window(lo, hi).astype(np.int32)
                 + extra[: sub.n_cells_dp], 0xFFFF
             ).astype(np.uint16)
             total = p.total[lo:hi] + np.bincount(
                 ex.cells, minlength=sub.n_cells
             )[: sub.n_cells_dp].astype(np.int32)
-            sub_p = pl.Pileup(sub, counts, total,
-                              p.refkmer[lo:hi], p.ref_sym[lo:hi])
-            p.counts[lo:hi] = sub_p.counts
-            p.total[lo:hi] = sub_p.total
-            _apply_correction(state, sub_p, sub_cell0, rate, cfg)
+            problems.append((counts, p.refkmer[lo:hi], total))
+            metas.append((sub, sub_cell0, counts, total))
+        from ..ops.tropical import run_chain_batch
+
+        for choice, (sub, sub_cell0, counts, total) in zip(
+                run_chain_batch(problems, rate), metas):
+            _apply_choice(state, sub.n_cells_dp, choice, counts, total,
+                          sub_cell0, cfg)
+
+
+def _coverage_of_sparse(uk, cn, choice, n_dp) -> np.ndarray:
+    """Sparse chosen-suffix coverage."""
+    hi = np.searchsorted(uk, n_dp * np.int64(K3))
+    k = uk[:hi]
+    c = cn[:hi]
+    cell = k // K3
+    sel = (k & 7) == choice[cell]
+    cov = np.zeros(n_dp, dtype=np.int64)
+    np.add.at(cov, cell[sel], c[sel])
+    return cov
+
+
+def _apply_correction_sparse(state: ContigState, p, cell0: int, rate: float,
+                             cfg: AlgoConfig) -> None:
+    from ..ops.tropical import run_chain_sparse
+
+    n_dp = p.index.n_cells_dp
+    choice = run_chain_sparse(p.uk, p.cn, p.refkmer, p.total, n_dp, rate)
+    cells = cell0 + np.arange(n_dp)
+    state.base[cells] = choice
+    total = p.total[:n_dp].astype(np.int64)
+    state.update_flags(cells, total == 1, FLAG_ZERO)
+    cov = _coverage_of_sparse(p.uk, p.cn, choice.astype(np.int64), n_dp)
+    low = cov < cfg.min_count_ratio_skip * np.maximum(total, 1)
+    state.update_flags(cells, low, FLAG_COVERAGE)
+
+
+def _apply_choice(state: ContigState, n_dp: int, choice: np.ndarray,
+                  counts: np.ndarray, total_arr: np.ndarray, cell0: int,
+                  cfg: AlgoConfig) -> None:
+    cells = cell0 + np.arange(n_dp)
+    state.base[cells] = choice[:n_dp]
+    total = total_arr[:n_dp].astype(np.int64)
+    state.update_flags(cells, total == 1, FLAG_ZERO)
+    cov = _coverage_of(counts[:n_dp], choice[:n_dp])
+    low = cov < cfg.min_count_ratio_skip * np.maximum(total, 1)
+    state.update_flags(cells, low, FLAG_COVERAGE)
 
 
 def _apply_correction(state: ContigState, p: pl.Pileup, cell0: int,
@@ -126,13 +171,7 @@ def _apply_correction(state: ContigState, p: pl.Pileup, cell0: int,
     """Chain DP + base/flag update (contig_region_score + _region_correct)."""
     n_dp = p.index.n_cells_dp
     choice = run_chain_region(p.counts, p.refkmer, p.total, n_dp, rate)
-    cells = cell0 + np.arange(n_dp)
-    state.base[cells] = choice
-    total = p.total[:n_dp].astype(np.int64)
-    state.update_flags(cells, total == 1, FLAG_ZERO)
-    cov = _coverage_of(p.counts[:n_dp].astype(np.int64), choice)
-    low = cov < cfg.min_count_ratio_skip * np.maximum(total, 1)
-    state.update_flags(cells, low, FLAG_COVERAGE)
+    _apply_choice(state, n_dp, choice, p.counts, p.total, cell0, cfg)
 
 
 def score_chain_contig(name: str, draft: bytes, batch: AlnBatch,

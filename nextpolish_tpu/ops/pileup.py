@@ -444,6 +444,45 @@ def sparse_counts(cells: np.ndarray, kmers: np.ndarray, n: int) -> np.ndarray:
     return counts
 
 
+@dataclass
+class SparsePileup:
+    """Pileup as sorted (cell*K3+kmer) event keys with counts — avoids the
+    dense [n_cells, K3] tensor on the score-chain hot path."""
+
+    index: CellIndex
+    uk: np.ndarray  # int64 sorted unique keys
+    cn: np.ndarray  # int64 counts per key
+    total: np.ndarray  # int32 per-cell totals (incl. contig-as-read)
+    refkmer: np.ndarray
+    ref_sym: np.ndarray
+
+    def dense_window(self, lo: int, hi: int) -> np.ndarray:
+        """[hi-lo, K3] uint16 counts for a cell window."""
+        a = np.searchsorted(self.uk, lo * K3)
+        b = np.searchsorted(self.uk, hi * K3)
+        out = np.zeros((hi - lo, K3), dtype=np.uint16)
+        out.reshape(-1)[self.uk[a:b] - lo * K3] = np.minimum(
+            self.cn[a:b], np.iinfo(np.uint16).max)
+        return out
+
+
+def build_pileup_sparse(batch: AlnBatch, levels: np.ndarray, level: int,
+                        index: CellIndex, tid: int, contig_nib: np.ndarray,
+                        trim_len_edge: int = 2) -> SparsePileup:
+    """Sparse full pileup: reads at `level` + the contig-as-read."""
+    ex = expand_reads(batch, levels, level, index, tid, trim_len_edge)
+    ref_sym, refkmer = ref_stream(index, contig_nib)
+    n = index.n_cells
+    ndp = index.n_cells_dp
+    keys = ex.cells * K3 + ex.kmers()
+    refkeys = np.arange(ndp, dtype=np.int64) * K3 + refkmer[:ndp]
+    uk, cn = np.unique(np.concatenate([keys, refkeys]), return_counts=True)
+    total = np.bincount(ex.cells, minlength=n).astype(np.int32)
+    total[:ndp] += 1
+    return SparsePileup(index, uk, cn, total, refkmer.astype(np.int32),
+                        ref_sym)
+
+
 def build_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
                  index: CellIndex, tid: int, contig_nib: np.ndarray,
                  trim_len_edge: int = 2) -> Pileup:

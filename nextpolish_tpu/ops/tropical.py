@@ -183,6 +183,25 @@ def _pow2(n: int) -> int:
 def run_chain(counts: np.ndarray, refkmer: np.ndarray, total: np.ndarray,
               n_dp: int, rate: float, chunk: int = CHUNK) -> np.ndarray:
     """Host wrapper: sparsify + pad, run on device, return choices[:n_dp]."""
+    flat = counts[:n_dp].reshape(-1)
+    nz = np.flatnonzero(flat)
+    return run_chain_sparse(nz.astype(np.int64), flat[nz], refkmer, total,
+                            n_dp, rate, chunk)
+
+
+def init_state_sparse(keys0: np.ndarray) -> np.ndarray:
+    """init_state from the first cell's observed kmer keys."""
+    s0 = np.full(S, float(NEG), dtype=np.float32)
+    s0[0] = 0.0
+    s0[np.unique((keys0 >> 3) & 7)] = 0.0
+    return s0
+
+
+def run_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
+                     refkmer: np.ndarray, total: np.ndarray, n_dp: int,
+                     rate: float, chunk: int = CHUNK) -> np.ndarray:
+    """Sparse-key host wrapper: uk_in = sorted cell*K3+kmer keys (any cells
+    >= n_dp are trimmed), cn_in = counts."""
     L = pad_to_chunk(max(n_dp, 1), chunk)
     rk = np.zeros(L, dtype=np.int32)
     rk[:n_dp] = refkmer[:n_dp]
@@ -190,15 +209,16 @@ def run_chain(counts: np.ndarray, refkmer: np.ndarray, total: np.ndarray,
     t[:n_dp] = total[:n_dp]
     v = np.zeros(L, dtype=bool)
     v[:n_dp] = True
-    flat = counts[:n_dp].reshape(-1)
-    nz = np.flatnonzero(flat)
+    hi = np.searchsorted(uk_in, n_dp * K3)
+    nz = uk_in[:hi]
     E = _pow2(max(len(nz), 1))
     uk = np.zeros(E, dtype=np.int32)
     cn = np.zeros(E, dtype=np.uint16)
     uk[: len(nz)] = nz
-    cn[: len(nz)] = flat[nz]
+    cn[: len(nz)] = np.minimum(cn_in[:hi], np.iinfo(np.uint16).max)
+    k0 = nz[: int(np.searchsorted(nz, K3))]
     choice, _ = chain_correct_sparse(uk, cn, rk, t, v, float(rate),
-                                     init_state(counts[0]), chunk=chunk)
+                                     init_state_sparse(k0), chunk=chunk)
     return np.asarray(choice)[:n_dp]
 
 
@@ -273,3 +293,51 @@ def slow_chain(counts: np.ndarray, refkmer: np.ndarray, total: np.ndarray,
                 b2 = int(np.argmax(score[c - 1, 1:]) + 1)
             k = bestk[c - 1, b2]
     return choice
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def chain_correct_batch(counts, refkmer, total, valid, rate, s0, chunk=CHUNK):
+    """Batched chain_correct over R independent regions.
+
+    counts [R, L, K3], refkmer/total/valid [R, L], s0 [R, S]; one device
+    launch replaces per-region calls (the no-depth rescue can have hundreds
+    of tiny regions)."""
+    R, L, _ = counts.shape
+    A = jax.vmap(build_transition, in_axes=(0, 0, 0, None))(
+        counts, refkmer, total, rate)
+    A = jnp.where(valid[:, :, None, None], A, _eye()[None, None])
+    Ar = jnp.flip(jnp.swapaxes(A, 2, 3), axis=1)
+    A2 = jnp.stack([A, Ar])  # [2, R, L, S, S]
+    s02 = jnp.stack([s0.astype(jnp.float32), jnp.zeros((R, S), jnp.float32)])
+    f2 = _forward_states(A2, s02, chunk)
+    f, fr = f2[0], f2[1]
+    g = jnp.concatenate(
+        [jnp.flip(fr[:, :-1], axis=1), jnp.zeros((R, 1, S))], axis=1)
+    tot = f + g
+    choice = jnp.argmax(tot[:, :, 1:], axis=2).astype(jnp.int8) + 1
+    return choice
+
+
+def run_chain_batch(problems, rate, chunk=CHUNK):
+    """Run many small regions in one launch.  problems = list of
+    (counts[n,K3] uint16, refkmer[n], total[n]); returns list of choice[n]."""
+    if not problems:
+        return []
+    R = _pow2(len(problems))
+    Lb = pad_to_chunk(max(c.shape[0] for c, _, _ in problems), chunk)
+    counts = np.zeros((R, Lb, K3), dtype=np.uint16)
+    rk = np.zeros((R, Lb), dtype=np.int32)
+    tt = np.zeros((R, Lb), dtype=np.int32)
+    vv = np.zeros((R, Lb), dtype=bool)
+    s0 = np.full((R, S), float(NEG), dtype=np.float32)
+    s0[:, 0] = 0.0
+    for i, (c, r, t) in enumerate(problems):
+        n = c.shape[0]
+        counts[i, :n] = c
+        rk[i, :n] = r[:n]
+        tt[i, :n] = t[:n]
+        vv[i, :n] = True
+        s0[i] = init_state(c[0])
+    out = np.asarray(chain_correct_batch(counts, rk, tt, vv, float(rate),
+                                         s0, chunk=chunk))
+    return [out[i, : p[0].shape[0]] for i, p in enumerate(problems)]
