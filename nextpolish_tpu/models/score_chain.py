@@ -52,6 +52,7 @@ class AlgoConfig:
     min_snp_factor_sgs: float = 0.34
     max_variant_count_lgs: int = 150000
     read_tlen: int = 0  # estimated insert size * max_ins_fold_sgs
+    read_len: int = 0  # first read's length (Configure.read_len)
 
 
 def estimate_read_tlen(batch: AlnBatch, cfg: AlgoConfig) -> int:
@@ -62,6 +63,8 @@ def estimate_read_tlen(batch: AlnBatch, cfg: AlgoConfig) -> int:
     take = np.flatnonzero(sel)[: cfg.count_read_ins_sgs - 1]
     count = len(take) + 1
     mean = int(tl[take].sum()) // count
+    if len(batch):
+        cfg.read_len = int(batch.lqseq[0])
     return mean * cfg.max_ins_fold_sgs
 
 

@@ -317,3 +317,75 @@ def test_lgspolish_byte_parity(ref_lib, tmp_path):
     ref = ctypes.string_at(res.contents.contig)
     ours = lgspolish_contig("ctg1", draft, batch, AlgoConfig())
     assert ours == ref
+
+
+def test_snp_phase_byte_parity(ref_lib, tmp_path):
+    """Task 3 (snp_phase) must match the reference byte-for-byte on a
+    diploid simulation with draft errors and short+long reads."""
+    import ctypes
+
+    from ref_parity import batch_to_bam, write_fai, run_reference
+
+    from util_sim import make_draft, rand_seq, records_to_batch, simulate_reads
+
+    from nextpolish_tpu.models.snp_phase import snp_phase_contig
+    from nextpolish_tpu.models.snp_valid import snp_valid_contig
+    from nextpolish_tpu.models.score_chain import AlgoConfig, estimate_read_tlen
+
+    rng = np.random.default_rng(42)
+    L = 12000
+    true = rand_seq(rng, L)
+    h2 = bytearray(true)
+    BASES = b"ACGT"
+    for p in sorted(rng.choice(np.arange(200, L - 200), 24, replace=False)):
+        cur = h2[p]
+        alt = BASES[int(rng.integers(0, 4))]
+        while alt == cur:
+            alt = BASES[int(rng.integers(0, 4))]
+        h2[p] = alt
+    h2 = bytes(h2)
+    draft, ops = make_draft(rng, true, n_edits=5)
+    recs = (simulate_reads(rng, true, ops, read_len=150, step=9,
+                           err_rate=0.002)
+            + simulate_reads(rng, h2, ops, read_len=150, step=9,
+                             err_rate=0.002))
+    for i, r in enumerate(recs):
+        r["name"] = f"r{i}"
+    recs.sort(key=lambda r: r["pos"])
+    sgs = records_to_batch(recs, len(draft))
+    lrecs = (simulate_reads(rng, true, ops, read_len=2500, step=307,
+                            err_rate=0.02)
+             + simulate_reads(rng, h2, ops, read_len=2500, step=307,
+                              err_rate=0.02))
+    for i, r in enumerate(lrecs):
+        r["name"] = f"l{i}"
+    lrecs.sort(key=lambda r: r["pos"])
+    lgs = records_to_batch(lrecs, len(draft))
+    fa = tmp_path / "genome.fa"
+    fa.write_bytes(b">ctg1\n" + draft + b"\n")
+    write_fai(str(fa))
+    sgs_bam = tmp_path / "sgs.bam"
+    lgs_bam = tmp_path / "lgs.bam"
+    batch_to_bam(sgs, str(sgs_bam))
+    batch_to_bam(lgs, str(lgs_bam))
+    cfg_ref = ref_lib.config_init(str(fa).encode(), str(sgs_bam).encode(),
+                                  str(lgs_bam).encode())
+    res = ref_lib.snp_phase(b"ctg1", cfg_ref)
+    ref3 = ctypes.string_at(res.contents.contig)
+    cfg = AlgoConfig()
+    cfg.read_tlen = estimate_read_tlen(sgs, cfg)
+    ours3 = snp_phase_contig("ctg1", draft, sgs, lgs, cfg)
+    assert ours3 == ref3
+
+    # task 4 on top of the reference's task-3 output
+    fa2 = tmp_path / "after3.fa"
+    fa2.write_bytes(b">ctg1\n" + ref3 + b"\n")
+    write_fai(str(fa2))
+    cfg_ref4 = ref_lib.config_init(str(fa2).encode(), str(sgs_bam).encode(),
+                                   str(lgs_bam).encode())
+    res4 = ref_lib.snp_valid(b"ctg1", cfg_ref4)
+    ref4 = ctypes.string_at(res4.contents.contig)
+    cfg2 = AlgoConfig()
+    cfg2.read_tlen = estimate_read_tlen(sgs, cfg2)
+    ours4 = snp_valid_contig("ctg1", ref3, sgs, lgs, cfg2)
+    assert ours4 == ref4
