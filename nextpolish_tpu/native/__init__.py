@@ -46,6 +46,8 @@ def _load():
         lib.npt_cns_free.restype = None
     if hasattr(lib, "npt_poa_consensus"):
         lib.npt_poa_consensus.restype = ctypes.c_longlong
+    if hasattr(lib, "npt_pileup_sgs"):
+        lib.npt_pileup_sgs.restype = ctypes.c_longlong
     _LIB = lib
     return _LIB
 
@@ -166,6 +168,73 @@ def cns_dp(t_pos, delta, q_base, row_off, coverage, length: int,
             if ptr:
                 lib.npt_cns_free(ptr)
     return pos, base, qv
+
+
+# dense count-table budget for the native pileup path (bytes); beyond this
+# the caller falls back to the numpy event-expansion path
+PILEUP_DENSE_BYTES = int(os.environ.get("NPT_PILEUP_DENSE_BYTES",
+                                        8 << 30))
+_PILEUP_SCRATCH = None  # persistent all-zero count table (grow-only)
+
+
+def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
+               lqseq, start: int, end: int, cell_of, ins_len, n_cells: int,
+               n_dp: int, refkmer, trim_len_edge: int):
+    """Single-pass native pileup (pileup.cpp).  Returns sorted sparse
+    (uk int64, cn int64, totals int32) or None when unavailable / too big."""
+    global _PILEUP_SCRATCH
+    lib = _load()
+    if lib is None or not hasattr(lib, "npt_pileup_sgs"):
+        return None
+    if n_cells * 1024 > PILEUP_DENSE_BYTES:
+        return None
+
+    def c64(a):
+        return np.ascontiguousarray(a, dtype=np.int64)
+
+    ridx = c64(ridx)
+    cell_of = c64(cell_of)
+    ins_len = c64(ins_len)
+    rpos = np.ascontiguousarray(rpos, dtype=np.int32)
+    cigar = np.ascontiguousarray(cigar, dtype=np.uint32)
+    cigar_off = c64(cigar_off)
+    cigar_len = np.ascontiguousarray(cigar_len, dtype=np.int32)
+    seq_nib = np.ascontiguousarray(seq_nib, dtype=np.uint8)
+    seq_off = c64(seq_off)
+    lqseq = np.ascontiguousarray(lqseq, dtype=np.int32)
+    if refkmer is not None:
+        refkmer = np.ascontiguousarray(refkmer, dtype=np.int32)
+    if _PILEUP_SCRATCH is None or len(_PILEUP_SCRATCH) < n_cells * 512:
+        _PILEUP_SCRATCH = np.zeros(n_cells * 512, dtype=np.uint16)
+    counts = _PILEUP_SCRATCH
+    totals = np.zeros(n_cells, dtype=np.int32)
+    out_uk = ctypes.POINTER(ctypes.c_int64)()
+    out_cn = ctypes.POINTER(ctypes.c_int64)()
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    nnz = lib.npt_pileup_sgs(
+        p(ridx), ctypes.c_longlong(len(ridx)), p(rpos), p(cigar),
+        p(cigar_off), p(cigar_len), p(seq_nib), p(seq_off), p(lqseq),
+        ctypes.c_longlong(start), ctypes.c_longlong(end), p(cell_of),
+        p(ins_len), ctypes.c_longlong(n_cells), ctypes.c_longlong(n_dp),
+        p(refkmer) if refkmer is not None else None,
+        ctypes.c_int(trim_len_edge), p(counts), p(totals),
+        ctypes.byref(out_uk), ctypes.byref(out_cn),
+    )
+    if nnz < 0:
+        return None
+    try:
+        uk = np.ctypeslib.as_array(out_uk, shape=(nnz,)).copy() if nnz else \
+            np.empty(0, np.int64)
+        cn = np.ctypeslib.as_array(out_cn, shape=(nnz,)).copy() if nnz else \
+            np.empty(0, np.int64)
+    finally:
+        for ptr in (out_uk, out_cn):
+            if ptr:
+                lib.npt_cns_free(ptr)
+    return uk, cn, totals
 
 
 def poa_consensus(seqs):

@@ -469,7 +469,15 @@ class SparsePileup:
 def build_pileup_sparse(batch: AlnBatch, levels: np.ndarray, level: int,
                         index: CellIndex, tid: int, contig_nib: np.ndarray,
                         trim_len_edge: int = 2) -> SparsePileup:
-    """Sparse full pileup: reads at `level` + the contig-as-read."""
+    """Sparse full pileup: reads at `level` + the contig-as-read.
+
+    Uses the native single-pass walker (native/pileup.cpp) when available;
+    the vectorized-numpy expansion below is the fallback and the oracle the
+    native path is tested against."""
+    native = _native_pileup(batch, levels, level, index, tid, contig_nib,
+                            trim_len_edge)
+    if native is not None:
+        return native
     ex = expand_reads(batch, levels, level, index, tid, trim_len_edge)
     ref_sym, refkmer = ref_stream(index, contig_nib)
     n = index.n_cells
@@ -479,6 +487,31 @@ def build_pileup_sparse(batch: AlnBatch, levels: np.ndarray, level: int,
     uk, cn = np.unique(np.concatenate([keys, refkeys]), return_counts=True)
     total = np.bincount(ex.cells, minlength=n).astype(np.int32)
     total[:ndp] += 1
+    return SparsePileup(index, uk, cn, total, refkmer.astype(np.int32),
+                        ref_sym)
+
+
+def _native_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
+                   index: CellIndex, tid: int, contig_nib: np.ndarray,
+                   trim_len_edge: int) -> SparsePileup | None:
+    from .. import native
+
+    if not native.available():
+        return None
+    mask = (levels == level) & region_overlap_mask(batch, tid, index.start,
+                                                   index.end)
+    mask &= (batch.cigar_len > 0) & (batch.lqseq > 0)
+    ridx = np.flatnonzero(mask)
+    ref_sym, refkmer = ref_stream(index, contig_nib)
+    out = native.pileup_sgs(
+        ridx, batch.pos, batch.cigar, batch.cigar_off, batch.cigar_len,
+        batch.seq, batch.seq_off, batch.lqseq, index.start, index.end,
+        index.cell_of, index.ins_len, index.n_cells, index.n_cells_dp,
+        refkmer, trim_len_edge,
+    )
+    if out is None:
+        return None
+    uk, cn, total = out
     return SparsePileup(index, uk, cn, total, refkmer.astype(np.int32),
                         ref_sym)
 

@@ -119,6 +119,28 @@ def chain_correct_sparse(uk, cn, refkmer, total, valid, rate, s0,
                          s0, chunk=chunk)
 
 
+@partial(jax.jit, static_argnames=("L", "E", "chunk"))
+def chain_correct_packed(buf, L, E, chunk=CHUNK):
+    """chain_correct_sparse with every input packed into ONE int32 buffer —
+    the host<->device link (a tunnel here) has high per-transfer latency, so
+    six small arrays cost far more than one concatenated one.
+
+    Layout: [uk(E) | cn(E) | refkmer(L) | total(L) | valid(L) | s0mask, rate]
+    with rate bitcast into the int32 lane."""
+    uk = buf[:E]
+    cn = buf[E:2 * E].astype(jnp.uint16)
+    rk = buf[2 * E:2 * E + L]
+    total = buf[2 * E + L:2 * E + 2 * L]
+    valid = buf[2 * E + 2 * L:2 * E + 3 * L] != 0
+    s0mask = buf[2 * E + 3 * L]
+    rate = jax.lax.bitcast_convert_type(buf[2 * E + 3 * L + 1], jnp.float32)
+    s0 = jnp.where((s0mask >> jnp.arange(S)) & 1 != 0, jnp.float32(0.0), NEG)
+    dense = jnp.zeros((L * K3,), jnp.uint16).at[uk].add(cn)
+    choice, _ = chain_correct(dense.reshape(L, K3), rk, total, valid, rate,
+                              s0, chunk=chunk)
+    return choice
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def chain_correct(counts, refkmer, total, valid, rate, s0, chunk=CHUNK):
     """Run the full chain DP.
@@ -212,13 +234,18 @@ def run_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
     hi = np.searchsorted(uk_in, n_dp * K3)
     nz = uk_in[:hi]
     E = _pow2(max(len(nz), 1))
-    uk = np.zeros(E, dtype=np.int32)
-    cn = np.zeros(E, dtype=np.uint16)
-    uk[: len(nz)] = nz
-    cn[: len(nz)] = np.minimum(cn_in[:hi], np.iinfo(np.uint16).max)
     k0 = nz[: int(np.searchsorted(nz, K3))]
-    choice, _ = chain_correct_sparse(uk, cn, rk, t, v, float(rate),
-                                     init_state_sparse(k0), chunk=chunk)
+    s0mask = 1 | int(np.bitwise_or.reduce(
+        1 << np.unique((k0 >> 3) & 7))) if len(k0) else 1
+    buf = np.zeros(2 * E + 3 * L + 2, dtype=np.int32)
+    buf[: len(nz)] = nz
+    buf[E : E + len(nz)] = np.minimum(cn_in[:hi], np.iinfo(np.uint16).max)
+    buf[2 * E : 2 * E + L] = rk
+    buf[2 * E + L : 2 * E + 2 * L] = t
+    buf[2 * E + 2 * L : 2 * E + 3 * L] = v
+    buf[2 * E + 3 * L] = s0mask
+    buf[2 * E + 3 * L + 1] = np.float32(rate).view(np.int32)
+    choice = chain_correct_packed(buf, L, E, chunk=chunk)
     return np.asarray(choice)[:n_dp]
 
 

@@ -45,6 +45,43 @@ def test_pileup_fast_matches_slow(seed):
         assert np.array_equal(p.total, stotal.astype(np.int32))
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 11])
+def test_native_pileup_matches_numpy(seed):
+    """native/pileup.cpp single-pass walker == numpy event expansion on
+    messy CIGARs (clips, indels, sub-regions), including the sparse keys,
+    counts, and per-cell totals."""
+    from nextpolish_tpu import native
+
+    if not native.available():
+        pytest.skip("libnpt.so unavailable")
+    rng = np.random.default_rng(seed)
+    L = 400
+    draft = rand_seq(rng, L)
+    from nextpolish_tpu.io.fasta import ASCII_TO_NIB
+
+    nib = ASCII_TO_NIB[np.frombuffer(draft, dtype=np.uint8)]
+    recs = random_messy_records(rng, L, n_reads=80)
+    batch = records_to_batch(recs, L)
+    levels = pl.filter_sgs_chain(batch)
+    for start, end in [(0, L - 1), (53, 311), (200, 233)]:
+        index = pl.build_cell_index(batch, levels, 0, start, end)
+        nat = pl._native_pileup(batch, levels, 1, index, 0, nib, 2)
+        assert nat is not None
+        ex = pl.expand_reads(batch, levels, 1, index, 0, 2)
+        _, refkmer = pl.ref_stream(index, nib)
+        keys = ex.cells * K3 + ex.kmers()
+        refkeys = (np.arange(index.n_cells_dp, dtype=np.int64) * K3
+                   + refkmer[: index.n_cells_dp])
+        uk, cn = np.unique(np.concatenate([keys, refkeys]),
+                           return_counts=True)
+        total = np.bincount(ex.cells, minlength=index.n_cells).astype(
+            np.int32)
+        total[: index.n_cells_dp] += 1
+        assert np.array_equal(nat.uk, uk)
+        assert np.array_equal(nat.cn, np.minimum(cn, 0xFFFF))
+        assert np.array_equal(nat.total, total)
+
+
 @pytest.mark.parametrize("seed", [0, 7])
 def test_blocked_scan_matches_naive(seed):
     rng = np.random.default_rng(seed)
