@@ -92,43 +92,116 @@ def _chain(qp: np.ndarray, rp: np.ndarray, L: int, k: int):
     return qp[sel], rp[sel]
 
 
-def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
-                   k: int = 15, w: int = 10, min_chain: int = 8,
-                   match=2, mismatch=4, gapo=4, gape=2):
-    """Map long reads; returns BAM-style record dicts (unpaired)."""
-    n = len(seqs)
-    chains = [None] * n  # (strand, qp, rp, codes_oriented)
-    for i, s in enumerate(seqs):
-        codes = seq_codes(s)
-        qpos, rpos, same = _anchors(idx, codes, k)
-        L = codes.size
+MAX_SPLIT_PARTS = 4  # split-read parts per read (primary + supplementaries)
+MAX_EVENT_LEN = 1500  # net indel above this breaks the chain into parts
+
+
+def _split_chain(cq: np.ndarray, cr: np.ndarray):
+    """Break a colinear chain at net-indel jumps > MAX_EVENT_LEN — such
+    events are structural, and must surface as split parts + SA tags (the
+    signal check_indel consumes), not as giant I/D CIGAR ops."""
+    if cq.size == 0:
+        return []
+    jump = np.abs(np.diff(cr) - np.diff(cq))
+    brk = np.flatnonzero(jump > MAX_EVENT_LEN)
+    out = []
+    s = 0
+    for b in brk:
+        out.append((cq[s : b + 1], cr[s : b + 1]))
+        s = b + 1
+    out.append((cq[s:], cr[s:]))
+    return out
+
+
+def _find_parts(idx: GenomeIndex, codes: np.ndarray, k: int, min_chain: int):
+    """Iterated chaining for split reads: find the best chain, mask its
+    query span, re-chain the leftover anchors (the role of minimap2's
+    multi-part primary/supplementary output that feeds SA tags,
+    util/minimap2 + lib/ctg_cns.c:2158 set_satags).  Returns a list of
+    (strand, cq, cr, oriented_codes) ordered best-first."""
+    qpos, rpos, same = _anchors(idx, codes, k)
+    L = codes.size
+    parts = []
+    used = np.zeros(max(L, 1), dtype=bool)
+    rc = None
+    for it in range(MAX_SPLIT_PARTS):
         best = None
         for strand in (0, 1):
             m = same if strand == 0 else ~same
-            if strand == 0:
-                qp = qpos[m]
-            else:
-                qp = L - k - qpos[m]
-            cq, cr = _chain(qp, rpos[m], L, k)
+            qo = qpos[m]
+            keep = ~used[qo]
+            qo, ro = qo[keep], rpos[m][keep]
+            qp = qo if strand == 0 else L - k - qo
+            cq, cr = _chain(qp, ro, L, k)
             if best is None or cq.size > best[1].size:
                 best = (strand, cq, cr)
         strand, cq, cr = best
-        if cq.size >= min_chain:
-            oriented = codes if strand == 0 else _revcomp_codes(codes)
-            chains[i] = (strand, cq, cr, oriented)
+        if cq.size < min_chain:
+            break
+        # query interval in original-read coordinates
+        q0, q1 = int(cq.min()), int(cq.max()) + k
+        lo, hi = (L - q1, L - q0) if strand else (q0, q1)
+        if parts and used[lo:hi].mean() > 0.3:
+            break  # mostly re-covers an earlier part: not a split
+        used[lo:hi] = True
+        if strand and rc is None:
+            rc = _revcomp_codes(codes)
+        oriented = rc if strand else codes
+        for scq, scr in _split_chain(cq, cr):
+            if scq.size >= min_chain and len(parts) < MAX_SPLIT_PARTS:
+                parts.append((strand, scq, scr, oriented))
+    # primary = the part with the most anchors
+    parts.sort(key=lambda p: -p[1].size)
+    return parts
 
-    # build per-read op skeletons + segment jobs
-    skels = [None] * n  # list of ('M'|'I'|'D', len) or ('SEG', job_id)
-    jobs = []  # (read, qa, qlen, ra, tlen)
-    read_pos = [0] * n
-    for i in range(n):
-        if chains[i] is None:
+
+def _cigar_str(cig: np.ndarray) -> str:
+    ops = "MIDNSHP=X"
+    return "".join(f"{int(w) >> 4}{ops[int(w) & 0xF]}" for w in cig)
+
+
+def _sa_aux(parts_info, skip: int) -> bytes:
+    """Raw BAM aux bytes for SA:Z listing every part except `skip`
+    (rname,pos,strand,CIGAR,mapQ,NM; — the format set_satags parses,
+    lib/ctg_cns.c:2158-2231)."""
+    ents = []
+    for j, (rname, pos, strand, cig, mapq) in enumerate(parts_info):
+        if j == skip:
             continue
-        strand, cq, cr, codes = chains[i]
+        ents.append(
+            f"{rname},{pos + 1},{'-' if strand else '+'},"
+            f"{_cigar_str(cig)},{mapq},0;"
+        )
+    return b"SAZ" + "".join(ents).encode() + b"\x00"
+
+
+def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
+                   k: int = 15, w: int = 10, min_chain: int = 8,
+                   match=2, mismatch=4, gapo=4, gape=2):
+    """Map long reads; returns BAM-style record dicts (unpaired).
+
+    Reads whose anchors chain into multiple disjoint query spans (split
+    reads over a structural break in the draft) produce one primary plus
+    supplementary records (FSUPPLEMENTARY, full soft-clipped seq), each
+    carrying an SA:Z tag over the other parts."""
+    n = len(seqs)
+    chains = []  # flat parts: (read, strand, cq, cr, codes_oriented)
+    read_parts = [[] for _ in range(n)]  # read -> part ids (best first)
+    for i, s in enumerate(seqs):
+        codes = seq_codes(s)
+        for strand, cq, cr, oriented in _find_parts(idx, codes, k, min_chain):
+            read_parts[i].append(len(chains))
+            chains.append((i, strand, cq, cr, oriented))
+
+    # build per-part op skeletons + segment jobs
+    np_parts = len(chains)
+    skels = [None] * np_parts  # list of ('M'|'I'|'D', len) or ('SEG', job_id)
+    jobs = []  # (part, qa, qlen, ra, tlen)
+    for i in range(np_parts):
+        _, strand, cq, cr, codes = chains[i]
         sk = []
         # merge anchors into match runs and gap segments
         qa, ra = int(cq[0]), int(cr[0])
-        read_pos[i] = ra
         cur_m = k
         qe, re_ = qa + k, ra + k  # aligned-through coordinates
         for t in range(1, cq.size):
@@ -161,13 +234,13 @@ def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
 
     seg_ops = _run_segments(idx, jobs, chains, match, mismatch, gapo, gape)
 
-    # assemble records
-    records = [None] * n
-    for i in range(n):
+    # assemble one candidate record per part
+    part_recs = [None] * np_parts
+    for i in range(np_parts):
         if skels[i] is None:
             continue
         sk, qa, qe, ra, re_ = skels[i]
-        strand, cq, cr, codes = chains[i]
+        _, strand, cq, cr, codes = chains[i]
         runs = []
 
         def add(op, ln):
@@ -205,10 +278,38 @@ def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
         if tid[0] != tid2[0]:
             continue
         mapq = min(60, int(cq.size) // 2)
-        records[i] = dict(ref_id=int(tid[0]), pos=int(pos[0]),
-                          strand=strand, mapq=mapq,
-                          cigar=np.array(cig, dtype=np.uint32), score=0)
-    return _finalize(records, idx, seqs, names, None, False)
+        part_recs[i] = dict(ref_id=int(tid[0]), pos=int(pos[0]),
+                            strand=strand, mapq=mapq,
+                            cigar=np.array(cig, dtype=np.uint32), score=0)
+
+    # attach SA tags where a read has >1 surviving part; part 0 is primary
+    records = [None] * n
+    extra = []
+    for i in range(n):
+        pids = [p for p in read_parts[i] if part_recs[p] is not None]
+        if not pids:
+            continue
+        prim = part_recs[pids[0]]
+        records[i] = prim
+        if len(pids) == 1:
+            continue
+        info = [(idx.names[part_recs[p]["ref_id"]], part_recs[p]["pos"],
+                 part_recs[p]["strand"], part_recs[p]["cigar"],
+                 part_recs[p]["mapq"]) for p in pids]
+        prim["tags"] = _sa_aux(info, 0)
+        for j, p in enumerate(pids[1:], start=1):
+            sup = dict(part_recs[p])
+            sup["supplementary"] = True
+            sup["tags"] = _sa_aux(info, j)
+            extra.append((i, sup))
+
+    out = _finalize(records, idx, seqs, names, None, False)
+    for i, sup in extra:
+        rec = _finalize([sup], idx, [seqs[i]],
+                        [names[i]] if names else [f"read{i}"], None, False)[0]
+        rec["flag"] |= bamio.FSUPPLEMENTARY
+        out.append(rec)
+    return out
 
 
 def _pick_bucket(gq: int, gr: int):
@@ -235,7 +336,7 @@ def _run_segments(idx: GenomeIndex, jobs, chains, match, mismatch, gapo, gape):
         tlen = np.zeros(Bt, dtype=np.int32)
         for bi, jid in enumerate(jids):
             ri, qa, gq, ra, gr, _ = jobs[jid]
-            codes = chains[ri][3]
+            codes = chains[ri][4]
             q[bi, :gq] = codes[qa : qa + gq]
             # t[x] = ref[ra + x - off]
             lo = max(ra - off, 0)

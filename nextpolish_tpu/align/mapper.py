@@ -331,7 +331,8 @@ def _finalize(records, idx, seqs, names, quals, paired):
         out.append(dict(name=name, flag=flag, tid=rec["ref_id"],
                         pos=rec["pos"], mapq=rec["mapq"], cigar=rec["cigar"],
                         seq_nib=NIB_OF_CODE[codes], qual=qual,
-                        mtid=mtid, mpos=mpos, tlen=tlen))
+                        mtid=mtid, mpos=mpos, tlen=tlen,
+                        tags=rec.get("tags", b"")))
     return out
 
 
@@ -371,7 +372,7 @@ def records_to_batch(records, idx: GenomeIndex) -> AlnBatch:
         np.cumsum(lqseq[:-1].astype(np.int64), out=seq_off[1:])
     qual = (np.concatenate([r["qual"] for r in mapped])
             if n else np.empty(0, np.uint8))
-    return AlnBatch(
+    batch = AlnBatch(
         header=header, tid=tid, pos=pos, mapq=mapq, flag=flag, tlen=tlen,
         lqseq=lqseq, cigar=cigar, cigar_off=cigar_off, cigar_len=cigar_len,
         seq=seq, seq_off=seq_off, qual=qual, qual_off=seq_off.copy(),
@@ -379,3 +380,14 @@ def records_to_batch(records, idx: GenomeIndex) -> AlnBatch:
         mtid=np.array([r["mtid"] for r in mapped], dtype=np.int32),
         mpos=np.array([r["mpos"] for r in mapped], dtype=np.int32),
     )
+    if any(r.get("tags") for r in mapped):
+        tags_len = np.array([len(r.get("tags", b"")) for r in mapped],
+                            dtype=np.int32)
+        tags_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(tags_len[:-1].astype(np.int64), out=tags_off[1:])
+        batch.tags = np.frombuffer(
+            b"".join(bytes(r.get("tags", b"")) for r in mapped), dtype=np.uint8
+        )
+        batch.tags_off = tags_off
+        batch.tags_len = tags_len
+    return batch

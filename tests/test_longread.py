@@ -137,3 +137,38 @@ def test_long_batch_filters(lr_genome):
     assert len(batch) == 3
     lv = filter_lgs(batch, 0.4)
     assert (lv == 1).all()
+
+
+def test_split_read_sa_tags(lr_genome):
+    """A read spanning a large draft-only insertion (i.e. the true sample
+    has a 6 kb segment the draft duplicates/keeps) maps as two parts:
+    primary + supplementary with SA:Z tags the structural layer can turn
+    into a gap candidate (set_satags/check_indel roles)."""
+    from nextpolish_tpu.models.cns.structural import (
+        find_sa_tag,
+        read_gap_candidate,
+    )
+
+    g, idx = lr_genome  # draft
+    rng = np.random.default_rng(9)
+    # true genome lacks draft[20000:26000]: reads jump across that span
+    true = g[:20000] + g[26000:]
+    reads = [
+        _noisy(rng, true[12000:30000], 0.02, 0.02, 0.02),  # spans the break
+        _noisy(rng, g[40000:50000], 0.02, 0.02, 0.02),  # ordinary read
+    ]
+    recs = map_long_batch(idx, reads)
+    prim = [r for r in recs if r["tid"] == 0 and not (r["flag"] & 0x800)]
+    sup = [r for r in recs if r["tid"] == 0 and (r["flag"] & 0x800)]
+    assert len(prim) == 2 and len(sup) == 1
+    for rec, r in zip(recs[:2], reads):
+        _check_cigar_consistency(rec, len(r))
+    _check_cigar_consistency(sup[0], len(reads[0]))
+    batch = records_to_batch(recs, idx)
+    sa_reads = [i for i in range(len(batch)) if find_sa_tag(batch.rec_tags(i))]
+    assert len(sa_reads) == 2  # split primary + its supplementary
+    gaps = [read_gap_candidate(batch, i, "ctg") for i in sa_reads]
+    real = [cand for cand in gaps if cand.score]
+    assert real, "no gap candidate from the SA tags"
+    for cand in real:
+        assert abs(cand.gap_s - 20000) < 300 and abs(cand.gap_e - 26000) < 300
