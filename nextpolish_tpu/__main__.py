@@ -8,7 +8,6 @@ import sys
 from . import __version__
 from .config import load_config
 from .kit import plog
-from .pipeline import Pipeline
 
 
 def main(argv=None):
@@ -27,6 +26,17 @@ def main(argv=None):
         handler = logging.FileHandler(args.log)
         handler.setFormatter(log.handlers[0].formatter)
         log.addHandler(handler)
+
+    # before importing the pipeline: jax.distributed must initialize before
+    # anything touches the XLA backend
+    from .parallel.hosts import init_distributed
+
+    nproc = init_distributed()
+    if nproc > 1:
+        import jax
+
+        log.info("multi-host run: rank %d of %d", jax.process_index(), nproc)
+    from .pipeline import Pipeline
 
     cfg = load_config(args.config)
     log.info("scheduled tasks: %s", cfg.task)

@@ -39,7 +39,9 @@ import numpy as np
 
 from .symbols import K3, S
 
-NEG = jnp.float32(-1e9)
+# a numpy scalar, NOT jnp: creating a jax value at import time would
+# initialize the XLA backend before jax.distributed.initialize can run
+NEG = np.float32(-1e9)
 CHUNK = 128
 
 

@@ -1,12 +1,58 @@
-"""Multi-host work partitioning (blc_genome role, source/nextPolish:93-117).
+"""Multi-host work partitioning and launch glue.
 
-The reference bins contigs into `parallel_jobs` blocks by cumulative length
-and submits one shell job per block.  Here the same greedy binning assigns
-contig blocks to JAX processes: each host polishes its block and writes its
-own part file; the rank-0 host gathers (shared filesystem, like the
-reference's `cat`).
+Partitioning (blc_genome role, source/nextPolish:93-117): the reference bins
+contigs into `parallel_jobs` blocks by cumulative length and submits one
+shell job per block.  Here the same greedy binning assigns contig blocks to
+JAX processes: each host polishes its block and writes its own part file;
+the rank-0 host gathers (shared filesystem, like the reference's `cat`).
+
+Launch (Paralleltask multi-node role, doc/OPTION.rst:75-113): instead of a
+cluster scheduler + done-flag files, every host runs the same
+`python -m nextpolish_tpu run.cfg` with three env vars and coordination
+runs over jax.distributed:
+
+    NPT_COORDINATOR=host0:9876  NPT_NUM_PROCS=4  NPT_PROC_ID=<rank>
+
+Stage boundaries are device-level barriers (sync_global_devices), replacing
+the reference's filesystem polling of per-job done markers.
 """
 from __future__ import annotations
+
+import os
+
+_INITIALIZED = False
+
+
+def init_distributed() -> int:
+    """Initialize jax.distributed from NPT_* env vars (no-op without them).
+    Returns the process count."""
+    global _INITIALIZED
+    import jax
+
+    coord = os.environ.get("NPT_COORDINATOR")
+    if coord and not _INITIALIZED:
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            # CPU multi-process needs a cross-process collectives impl
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["NPT_NUM_PROCS"]),
+            process_id=int(os.environ["NPT_PROC_ID"]),
+        )
+        _INITIALIZED = True
+    return jax.process_count()
+
+
+def barrier(name: str) -> None:
+    """Block until every process reaches this point (the analog of the
+    reference waiting for all Paralleltask jobs of a stage)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def blc_genome(lengths: dict, n_blocks: int) -> dict:

@@ -217,25 +217,54 @@ class Pipeline:
         os.makedirs(cfg.workdir, exist_ok=True)
         runner = StageRunner(cfg.workdir, cfg.rerun)
 
+        from .parallel.hosts import barrier
+
+        import jax
+
+        nproc = jax.process_count()
+        rank = jax.process_index()
+
         genome_path = cfg.genome
         for step, task in enumerate(cfg.task, 1):
             stage_dir = cfg.stage_dir(step, task)
             os.makedirs(stage_dir, exist_ok=True)
             outfile = os.path.join(stage_dir, "genome.nextpolish.part.fasta")
+            part = outfile if nproc == 1 else f"{outfile}.rank{rank}"
             gp = genome_path
             runner.stage(
-                f"{step:02d}.{TASK_NAMES[task]}",
-                lambda t=task, g=gp, o=outfile: self.polish_task(t, g, o),
+                f"{step:02d}.{TASK_NAMES[task]}"
+                + (f".rank{rank}" if nproc > 1 else ""),
+                lambda t=task, g=gp, o=part: self.polish_task(t, g, o),
                 subdir=stage_dir,
             )
+            if nproc > 1:
+                # all ranks' part files complete -> rank 0 gathers (the
+                # samtools-merge/`cat` role over the shared filesystem),
+                # then everyone proceeds with the stitched genome
+                barrier(f"polish.{step}")
+                if rank == 0 and not os.path.exists(outfile):
+                    tmp = outfile + ".tmp"
+                    with open(tmp, "wb") as out:
+                        for r in range(nproc):
+                            rp = f"{outfile}.rank{r}"
+                            if os.path.exists(rp):
+                                with open(rp, "rb") as fh:
+                                    out.write(fh.read())
+                    os.replace(tmp, outfile)
+                barrier(f"gather.{step}")
             genome_path = outfile
 
-        # gather
+        # gather (versioned name resolved before rank 0 writes, so every
+        # rank agrees on it)
+        barrier("pre-final")
         asm = os.path.join(cfg.workdir, "genome.nextpolish.fasta")
         i = 0
         while os.path.exists(asm):
             i += 1
             asm = os.path.join(cfg.workdir, f"genome.nextpolish.v{i}.fasta")
+        if nproc > 1 and rank != 0:
+            barrier("final")
+            return asm
         lengths = []
         with open(asm, "wb") as out:
             for rec in read_fastx(genome_path):
@@ -245,6 +274,8 @@ class Pipeline:
                           + b"\n")
         stats = cal_n50_info(lengths, asm + ".stat")
         log.info("final assembly: %s\n%s", asm, stats)
+        if nproc > 1:
+            barrier("final")
         return asm
 
 

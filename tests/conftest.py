@@ -10,7 +10,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+# no JAX_ENABLE_X64: the package targets TPU-native 32-bit types (f32/i32
+# with in-kernel renormalization where the C reference used double)
 # NOTE: do NOT enable jax's persistent compilation cache here — measured 8x
 # slower compiles for these kernels (102s vs 13s for the chain scan).
 
