@@ -27,10 +27,8 @@ NEG = -(10 ** 7)
 H_START, H_DIAG, H_E, H_F = 0, 1, 2, 3
 
 
-@partial(jax.jit,
-         static_argnames=("match", "mismatch", "gapo", "gape", "mode"))
-def _band_align(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
-                mode="local"):
+def _band_align_core(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
+                     mode="local"):
     """q: [Bt, R] uint8 codes (4=pad); t: [Bt, R+B] codes.
 
     local mode: Smith-Waterman, cell (i, c) aligns q[i] to t[i+c] and the
@@ -126,6 +124,115 @@ def _band_align(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
         best_c = tlen - qlen + off
         best = jnp.take_along_axis(Hfin, best_c[:, None], axis=1)[:, 0]
     return tb.transpose(1, 0, 2), best, best_i, best_c
+
+
+_band_align = partial(jax.jit, static_argnames=(
+    "match", "mismatch", "gapo", "gape", "mode"))(_band_align_core)
+
+
+def _traceback_device(tb, end_i, end_c):
+    """The traceback state machine of `traceback_batch`, on device: a
+    while_loop over steps, vectorized over the batch, so the [Bt, R, B]
+    traceback tensor never leaves the device (the host link is the
+    bottleneck: ~13 MB/s over the chip tunnel vs ~500 KB of op stream).
+
+    Returns (ops [Bt, S] int8 of op+1 codes, final i, final c)."""
+    Bt, R, B = tb.shape
+    max_steps = 2 * R + B + 4
+    i0 = end_i.astype(jnp.int32)
+    c0 = end_c.astype(jnp.int32)
+    # ops is [S, Bt] so each step writes one contiguous row
+    st0 = (jnp.int32(0), i0, c0, jnp.zeros(Bt, jnp.int32),
+           jnp.zeros(Bt, jnp.bool_), jnp.zeros((max_steps, Bt), jnp.int8))
+    rows = jnp.arange(Bt)
+
+    def cond(st):
+        step, _, _, _, done, _ = st
+        return (step < max_steps) & ~jnp.all(done)
+
+    def body(st):
+        step, i, c, state, done, ops = st
+        done = done | (i < 0)
+        inb = (~done) & (i >= 0) & (c >= 0) & (c < B)
+        cell = tb[rows, jnp.clip(i, 0, R - 1), jnp.clip(c, 0, B - 1)]
+        cell = jnp.where(inb, cell, 0).astype(jnp.int32)
+        hsrc = cell & 3
+        mH = inb & (state == 0)
+        start = mH & (hsrc == H_START)
+        diag = mH & (hsrc == H_DIAG)
+        toE = mH & (hsrc == H_E)
+        toF = mH & (hsrc == H_F)
+        mE = inb & (state == 1)
+        mF = inb & (state == 2)
+        act = jnp.where(diag, _M + 1,
+                        jnp.where(mE, _I + 1,
+                                  jnp.where(mF, _D + 1, 0))).astype(jnp.int8)
+        eopen = (cell >> 2) & 1
+        fopen = (cell >> 3) & 1
+        i = i - diag.astype(jnp.int32) - mE.astype(jnp.int32)
+        c = c + mE.astype(jnp.int32) - mF.astype(jnp.int32)
+        state = jnp.where(toE, 1, jnp.where(toF, 2, state))
+        state = jnp.where(mE & (eopen == 1), 0, state)
+        state = jnp.where(mF & (fopen == 1), 0, state)
+        ops = jax.lax.dynamic_update_slice(ops, act[None, :], (step, 0))
+        return (step + 1, i, c, state, done | start, ops)
+
+    _, i, c, _, _, ops = jax.lax.while_loop(cond, body, st0)
+    return ops.T, i, c
+
+
+@partial(jax.jit,
+         static_argnames=("match", "mismatch", "gapo", "gape", "mode"))
+def _band_align_ops(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
+                    mode="local"):
+    tb, best, best_i, best_c = _band_align_core(
+        q, t, qlen, tlen, match=match, mismatch=mismatch, gapo=gapo,
+        gape=gape, mode=mode)
+    ops, fin_i, fin_c = _traceback_device(tb, best_i, best_c)
+    return ops, best, best_i, best_c, fin_i, fin_c
+
+
+def band_align_ops(q_codes: np.ndarray, t_codes: np.ndarray, qlen: np.ndarray,
+                   tlen: np.ndarray, match=1, mismatch=4, gapo=6, gape=1,
+                   mode="local"):
+    """Fused align + traceback: numpy in, numpy out, with the traceback run
+    on device so only the op stream (not the [Bt, R, B] tensor) is fetched.
+
+    Returns (ops [Bt, S] of op+1 codes end->start, score, i_lo, j_lo,
+    i_hi, j_hi, lead_del) — the union of band_align + traceback_batch."""
+    n = q_codes.shape[0]
+    nb = 1
+    while nb < n:
+        nb *= 2
+    if nb != n:
+        q_codes = np.concatenate(
+            [q_codes, np.full((nb - n, q_codes.shape[1]), 4, q_codes.dtype)])
+        t_codes = np.concatenate(
+            [t_codes, np.full((nb - n, t_codes.shape[1]), 4, t_codes.dtype)])
+        qlen = np.concatenate([qlen, np.zeros(nb - n, qlen.dtype)])
+        tlen = np.concatenate([tlen, np.ones(nb - n, tlen.dtype)])
+    B = t_codes.shape[1] - q_codes.shape[1]
+    off = 0 if mode == "local" else B // 2
+    ops, sc, ei, ec, fi, fc = _band_align_ops(
+        jnp.asarray(q_codes), jnp.asarray(t_codes),
+        jnp.asarray(qlen, dtype=jnp.int32), jnp.asarray(tlen, dtype=jnp.int32),
+        match=match, mismatch=mismatch, gapo=gapo, gape=gape, mode=mode)
+    ops = np.asarray(ops)[:n]
+    sc = np.asarray(sc)[:n]
+    ei = np.asarray(ei)[:n].astype(np.int64)
+    ec = np.asarray(ec)[:n].astype(np.int64)
+    fi = np.asarray(fi)[:n].astype(np.int64)
+    fc = np.asarray(fc)[:n].astype(np.int64)
+    i_hi = ei
+    j_hi = ei + ec - off
+    i_lo = fi + 1
+    j_lo = fi + fc + 1 - off
+    if mode == "global":
+        lead_del = np.where((fi < 0) & (fc - off > 0), fc - off, 0)
+        j_lo = j_lo - lead_del
+    else:
+        lead_del = np.zeros(n, dtype=np.int64)
+    return ops, sc, i_lo, j_lo, i_hi, j_hi, lead_del
 
 
 def band_align(q_codes: np.ndarray, t_codes: np.ndarray, qlen: np.ndarray,

@@ -13,7 +13,7 @@ import bisect
 import numpy as np
 
 from ..io import bam as bamio
-from .extend import band_align, traceback_batch
+from .extend import band_align_ops
 from .index import GenomeIndex
 from .mapper import NIB_OF_CODE, _finalize, _revcomp_codes
 from .minimizer import kmer_hashes, seq_codes
@@ -346,12 +346,9 @@ def _run_segments(idx: GenomeIndex, jobs, chains, match, mismatch, gapo, gape):
             t[bi, off + gr :] = 4
             qlen[bi] = gq
             tlen[bi] = gr
-        tb, sc, ei, ec = band_align(q, t, qlen, tlen, match=match,
-                                    mismatch=mismatch, gapo=gapo, gape=gape,
-                                    mode="global")
-        ops, i_lo, j_lo, i_hi, j_hi, lead = traceback_batch(
-            tb, ei, ec, qlen, mode="global"
-        )
+        ops, sc, i_lo, j_lo, i_hi, j_hi, lead = band_align_ops(
+            q, t, qlen, tlen, match=match, mismatch=mismatch, gapo=gapo,
+            gape=gape, mode="global")
         for bi, jid in enumerate(jids):
             ri, qa, gq, ra, gr, _ = jobs[jid]
             if int(i_lo[bi]) != 0 or int(i_hi[bi]) != gq - 1:

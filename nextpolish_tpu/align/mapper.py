@@ -11,7 +11,7 @@ import numpy as np
 
 from ..io import bam as bamio
 from ..io.bam import AlnBatch, BamHeader
-from .extend import band_align, runs_to_cigar, traceback_batch
+from .extend import band_align_ops, runs_to_cigar
 from .index import GenomeIndex
 from .minimizer import kmer_hashes, seq_codes
 
@@ -236,8 +236,8 @@ def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
             hi_c = min(ts + W, idx.codes.size)
             if hi_c > lo_c:
                 t[b, lo_c - ts : hi_c - ts] = idx.codes[lo_c:hi_c]
-        tb, score, ei, ec = band_align(q, t, qlen, tlen)
-        ops, i_lo, j_lo, i_hi, j_hi, _ = traceback_batch(tb, ei, ec, qlen)
+        ops, score, i_lo, j_lo, i_hi, j_hi, _ = band_align_ops(
+            q, t, qlen, tlen)
         for b, i in enumerate(sub):
             if score[b] < min_score:
                 continue

@@ -158,3 +158,48 @@ def test_polish_via_mapper(toy_genome):
     polished = score_chain_contig("ctg", draft, batch, AlgoConfig())
     # interior must be fully corrected (edges may lack coverage)
     assert polished.upper()[30:-30] in true
+
+
+def test_device_traceback_matches_host():
+    """band_align_ops (device traceback) must reproduce traceback_batch
+    exactly — same op stream and coordinates — in both modes."""
+    from nextpolish_tpu.align.extend import band_align_ops
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for mode, band in (("local", 32), ("global", 32)):
+        Bt, R = 5, 80
+        W = R + band
+        off = 0 if mode == "local" else band // 2
+        q = np.full((Bt, R), 4, np.uint8)
+        t = np.full((Bt, W), 4, np.uint8)
+        qlen = np.zeros(Bt, np.int32)
+        tlen = np.zeros(Bt, np.int32)
+        for b in range(Bt):
+            ref = rng.integers(0, 4, R).astype(np.uint8)
+            read = ref.copy()
+            # a few subs + one indel
+            read[rng.integers(0, R, 3)] = rng.integers(0, 4, 3)
+            if b % 2:
+                read = np.delete(read, 10)  # deletion in read
+            ql = read.size - (5 if mode == "local" else 0)
+            q[b, :ql] = read[:ql]
+            t[b, off : off + R] = ref
+            qlen[b] = ql
+            tlen[b] = R
+        kw = dict(match=2, mismatch=4, gapo=4, gape=2, mode=mode)
+        tb, sc, ei, ec = band_align(q, t, qlen, tlen, **kw)
+        ops_h, i_lo, j_lo, i_hi, j_hi, lead = traceback_batch(
+            tb, ei, ec, qlen, mode=mode)
+        ops_d, sc2, i_lo2, j_lo2, i_hi2, j_hi2, lead2 = band_align_ops(
+            q, t, qlen, tlen, **kw)
+        assert np.array_equal(sc, sc2)
+        assert np.array_equal(i_lo, i_lo2)
+        assert np.array_equal(j_lo, j_lo2)
+        assert np.array_equal(i_hi, i_hi2)
+        assert np.array_equal(j_hi, j_hi2)
+        assert np.array_equal(lead, lead2)
+        for b in range(Bt):
+            ha = ops_h[b][ops_h[b] > 0]
+            da = ops_d[b][ops_d[b] > 0]
+            assert np.array_equal(ha, da), (mode, b)

@@ -1,0 +1,54 @@
+"""Assembly accuracy vs an expected FASTA: map the query contigs with the
+built-in long-read mapper and count mismatches / indel bases from the CIGAR
+(the role of the quast checks in the reference's doc/TEST*.rst protocols).
+
+Usage: python tools/asm_stats.py <query.fa> <target.fa>
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+NIB_TO_ASCII = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
+
+
+def main(query_fa: str, target_fa: str):
+    from nextpolish_tpu.align.index import GenomeIndex
+    from nextpolish_tpu.align.longread import map_long_batch
+    from nextpolish_tpu.io.bam import FSUPPLEMENTARY, FUNMAP
+    from nextpolish_tpu.io.fasta import read_fastx
+
+    tgt = {r.name: r.seq.upper() for r in read_fastx(target_fa)}
+    qry = [(r.name, r.seq.upper()) for r in read_fastx(query_fa)]
+    idx = GenomeIndex.build(list(tgt.items()), k=15, w=5)
+    recs = map_long_batch(idx, [s for _, s in qry], [n for n, _ in qry])
+    mm = ind = aligned = 0
+    for rec in recs:
+        if rec is None or (rec["flag"] & (FSUPPLEMENTARY | FUNMAP)):
+            continue
+        ref = tgt[idx.names[rec["tid"]]]
+        q = NIB_TO_ASCII[rec["seq_nib"]]
+        r = np.frombuffer(ref, dtype=np.uint8)
+        qi, rj = 0, rec["pos"]
+        for cw in rec["cigar"]:
+            op, ln = int(cw) & 0xF, int(cw) >> 4
+            if op == 0:  # M
+                mm += int((q[qi : qi + ln] != r[rj : rj + ln]).sum())
+                aligned += ln
+                qi += ln
+                rj += ln
+            elif op == 1:  # I
+                ind += ln
+                qi += ln
+            elif op == 2:  # D
+                ind += ln
+                rj += ln
+            elif op == 4:  # S
+                qi += ln
+    print(f"mismatches={mm} indel_bases={ind} aligned={aligned}")
+    return mm, ind
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
