@@ -213,16 +213,18 @@ def band_align_ops(q_codes: np.ndarray, t_codes: np.ndarray, qlen: np.ndarray,
         tlen = np.concatenate([tlen, np.ones(nb - n, tlen.dtype)])
     B = t_codes.shape[1] - q_codes.shape[1]
     off = 0 if mode == "local" else B // 2
-    ops, sc, ei, ec, fi, fc = _band_align_ops(
+    out = _band_align_ops(
         jnp.asarray(q_codes), jnp.asarray(t_codes),
         jnp.asarray(qlen, dtype=jnp.int32), jnp.asarray(tlen, dtype=jnp.int32),
         match=match, mismatch=mismatch, gapo=gapo, gape=gape, mode=mode)
-    ops = np.asarray(ops)[:n]
-    sc = np.asarray(sc)[:n]
-    ei = np.asarray(ei)[:n].astype(np.int64)
-    ec = np.asarray(ec)[:n].astype(np.int64)
-    fi = np.asarray(fi)[:n].astype(np.int64)
-    fc = np.asarray(fc)[:n].astype(np.int64)
+    # one batched fetch: per-array round-trips cost ~35 ms each on the tunnel
+    ops, sc, ei, ec, fi, fc = jax.device_get(out)
+    ops = ops[:n]
+    sc = sc[:n]
+    ei = ei[:n].astype(np.int64)
+    ec = ec[:n].astype(np.int64)
+    fi = fi[:n].astype(np.int64)
+    fc = fc[:n].astype(np.int64)
     i_hi = ei
     j_hi = ei + ec - off
     i_lo = fi + 1
