@@ -18,6 +18,7 @@ from .minimizer import kmer_hashes, seq_codes
 _RC = np.array([3, 2, 1, 0, 4], dtype=np.uint8)
 
 NIB_OF_CODE = np.array([1, 2, 4, 8, 15], dtype=np.uint8)  # A C G T N
+_SOFT = 4  # BAM CIGAR soft-clip op
 
 
 def _revcomp_codes(codes: np.ndarray) -> np.ndarray:
@@ -101,21 +102,20 @@ def seed_votes_batch(idx: GenomeIndex, codes_mat: np.ndarray,
     nk = R - k + 1
     c = codes_mat.astype(np.uint64)
     valid = codes_mat < 4
-    fwd = np.zeros((N, nk), dtype=np.uint64)
-    rev = np.zeros((N, nk), dtype=np.uint64)
-    okay = np.ones((N, nk), dtype=bool)
+    # subsample query positions FIRST: hash only every `subsample`-th k-mer
+    cols = np.arange(0, nk, subsample)
+    nc = cols.size
+    fwd = np.zeros((N, nc), dtype=np.uint64)
+    rev = np.zeros((N, nc), dtype=np.uint64)
+    okay = np.ones((N, nc), dtype=bool)
     for i in range(k):
-        fwd = (fwd << np.uint64(2)) | c[:, i : i + nk]
-        rev |= (np.uint64(3) - c[:, i : i + nk]) << np.uint64(2 * i)
-        okay &= valid[:, i : i + nk]
-    okay &= np.arange(nk)[None, :] + k <= lens[:, None]
+        ci = c[:, cols + i]
+        fwd = (fwd << np.uint64(2)) | ci
+        rev |= (np.uint64(3) - ci) << np.uint64(2 * i)
+        okay &= valid[:, cols + i]
+    okay &= cols[None, :] + k <= lens[:, None]
     qstrand = (rev < fwd).astype(np.uint8)
     h = _mix64(np.minimum(fwd, rev))
-    # subsample query positions
-    cols = np.arange(0, nk, subsample)
-    h = h[:, cols]
-    qstrand = qstrand[:, cols]
-    okay = okay[:, cols]
     qpos_mat = np.broadcast_to(cols, h.shape)
 
     flat_ok = okay.ravel()
@@ -164,17 +164,16 @@ def seed_votes_batch(idx: GenomeIndex, codes_mat: np.ndarray,
     best_cnt = np.zeros(N, dtype=np.int64)
     best_key[kr[first]] = ks[first]
     best_cnt[kr[first]] = km[first]
-    # second best: next entry for the read whose bin differs by > 1
+    # second best: first (= highest-merged) entry for the read whose bin
+    # is not adjacent to the winner or is on the other strand
     second = np.zeros(N, dtype=np.int64)
     fidx = np.flatnonzero(first)
-    bounds = np.concatenate([fidx, [kr.size]])
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        r = kr[a]
-        bk = ks[a]
-        for t in range(a + 1, b):
-            if abs(int(ks[t]) - int(bk)) > 1 or ((ks[t] >> 33) != (bk >> 33)):
-                second[r] = km[t]
-                break
+    bk_e = best_key[kr]
+    qual = (np.abs(ks - bk_e) > 1) | ((ks >> 33) != (bk_e >> 33))
+    pos = np.where(qual, np.arange(kr.size), kr.size)
+    first_q = np.minimum.reduceat(pos, fidx)
+    hasq = first_q < kr.size
+    second[kr[fidx[hasq]]] = km[first_q[hasq]]
     # mean diag over the winning (and adjacent) bins
     hit_best = (key == best_key[hr]) | (key == best_key[hr] - 1) | (
         key == best_key[hr] + 1
@@ -238,23 +237,33 @@ def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
                 t[b, lo_c - ts : hi_c - ts] = idx.codes[lo_c:hi_c]
         ops, score, i_lo, j_lo, i_hi, j_hi, _ = band_align_ops(
             q, t, qlen, tlen)
+        tid_b, pos_b = idx.global_to_contig(tstart + j_lo)
+        tid2_b, _ = idx.global_to_contig(tstart + j_hi)
+        # gapless fast path: rows whose op stream is pure M need no
+        # run-length pass (the overwhelmingly common case for short reads)
+        gapless = ~np.any((ops > 1), axis=1)
         for b, i in enumerate(sub):
             if score[b] < min_score:
                 continue
             d, s, v1, v2 = placements[i]
-            cig = runs_to_cigar(ops[b], int(i_lo[b]), int(i_hi[b]),
-                                int(qlen[b]))
-            gpos = int(tstart[b] + j_lo[b])
-            tid, pos = idx.global_to_contig(np.array([gpos]))
             # reject if the window crossed a contig boundary
-            end_g = int(tstart[b] + j_hi[b])
-            tid2, _ = idx.global_to_contig(np.array([end_g]))
-            if tid[0] != tid2[0] or pos[0] < 0:
+            if tid_b[b] != tid2_b[b] or pos_b[b] < 0:
                 continue
-            mapq = _mapq(v1, v2, int(score[b]), int(qlen[b]))
+            il, ih, ql = int(i_lo[b]), int(i_hi[b]), int(qlen[b])
+            if gapless[b]:
+                cig = []
+                if il > 0:
+                    cig.append((il << 4) | _SOFT)
+                cig.append(((ih - il + 1) << 4) | 0)
+                if ql - 1 - ih > 0:
+                    cig.append(((ql - 1 - ih) << 4) | _SOFT)
+                cig = np.array(cig, dtype=np.uint32)
+            else:
+                cig = runs_to_cigar(ops[b], il, ih, ql)
+            mapq = _mapq(v1, v2, int(score[b]), ql)
             records[i] = dict(
-                ref_id=int(tid[0]),
-                pos=int(pos[0]),
+                ref_id=int(tid_b[b]),
+                pos=int(pos_b[b]),
                 strand=s,
                 mapq=mapq,
                 cigar=cig,
