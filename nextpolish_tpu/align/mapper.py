@@ -273,14 +273,19 @@ def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
 
 
 def _mapq(v1: int, v2: int, score: int, qlen: int) -> int:
-    """bwa-flavored mapq: margin between best and second seed cluster,
-    scaled by alignment identity."""
+    """bwa-flavored mapq: margin between best and second seed cluster.
+    A uniquely placed read keeps mapq 60 even with a few base errors
+    (bwa behavior — the engines' vote weights and mapq-60 caps depend on
+    it, lib/kmercount.c:199,227,286); identity only demotes clearly
+    erroneous alignments."""
     if v1 <= 0:
         return 0
     frac = 1.0 - (v2 / v1)
+    q = 60.0 * frac
     ident = max(min(score / max(qlen, 1), 1.0), 0.0)
-    q = int(60 * frac * ident)
-    return max(0, min(q, 60))
+    if ident < 0.8:
+        q *= ident
+    return max(0, min(int(q + 0.499), 60))
 
 
 def _finalize(records, idx, seqs, names, quals, paired):
