@@ -1,9 +1,12 @@
 """Benchmark: task-1 (score_chain) polishing throughput on one chip.
 
-Simulates a 400 kb contig at 40x PE150-like coverage with 1% read error,
-pre-aligned by construction (the metric is the polishing engine: host pileup
-expansion + device tropical chain DP + correction emit — the compute path
-that replaces lib/contig.c's per-base C loops).
+Simulates 4 contigs of 100 kb at 40x PE150-like coverage with 1% read
+error, pre-aligned by construction (the metric is the polishing engine:
+host pileup expansion + device tropical chain DP + correction emit — the
+compute path that replaces lib/contig.c's per-base C loops).  Contigs run
+through the depth-2 dispatch/fetch pipeline, so the host pileup of contig
+i+1 overlaps the device scan of contig i (the TPU analog of the
+reference's Pool-over-contigs parallelism, lib/nextpolish1.py:223-224).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against an estimated 30,000 reads/s for the reference
@@ -21,35 +24,37 @@ import numpy as np
 BASELINE_READS_PER_S_32CORE = 30_000.0
 
 
-def make_case(rng, L=400_000, depth=40, read_len=150, err=0.01):
-    from nextpolish_tpu.io.bam import BamHeader, seq_to_nib
-
-    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    true = rng.choice(bases, L).tobytes()
-    n_reads = depth * L // read_len
-    starts = rng.integers(0, L - read_len, n_reads)
-    starts.sort()
-    recs = []
-    cigar = np.array([(read_len << 4) | 0], dtype=np.uint32)
-    seqs = np.frombuffer(true, dtype=np.uint8)[
-        starts[:, None] + np.arange(read_len)[None, :]
-    ].copy()
-    n_err = int(err * seqs.size)
-    er = rng.integers(0, n_reads, n_err)
-    ec = rng.integers(0, read_len, n_err)
-    seqs[er, ec] = rng.choice(bases, n_err)
+def make_case(rng, L=100_000, depth=40, read_len=150, err=0.01,
+              n_contigs=4):
+    from nextpolish_tpu.io.bam import AlnBatch, BamHeader
     from nextpolish_tpu.io.fasta import ASCII_TO_NIB
 
-    nib = ASCII_TO_NIB[seqs]
-    # build an AlnBatch directly (column-wise)
-    from nextpolish_tpu.io.bam import AlnBatch
-
-    header = BamHeader("", ["ctg"], [L])
-    n = n_reads
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    names = [f"ctg{i}" for i in range(n_contigs)]
+    header = BamHeader("", names, [L] * n_contigs)
+    trues, tids, starts_l, nibs = [], [], [], []
+    per = depth * L // read_len
+    for i in range(n_contigs):
+        true = rng.choice(bases, L).tobytes()
+        starts = rng.integers(0, L - read_len, per)
+        starts.sort()
+        seqs = np.frombuffer(true, dtype=np.uint8)[
+            starts[:, None] + np.arange(read_len)[None, :]
+        ].copy()
+        n_err = int(err * seqs.size)
+        er = rng.integers(0, per, n_err)
+        ec = rng.integers(0, read_len, n_err)
+        seqs[er, ec] = rng.choice(bases, n_err)
+        trues.append(true)
+        tids.append(np.full(per, i, np.int32))
+        starts_l.append(starts.astype(np.int32))
+        nibs.append(ASCII_TO_NIB[seqs])
+    n = per * n_contigs
+    cigar = np.array([(read_len << 4) | 0], dtype=np.uint32)
     batch = AlnBatch(
         header=header,
-        tid=np.zeros(n, np.int32),
-        pos=starts.astype(np.int32),
+        tid=np.concatenate(tids),
+        pos=np.concatenate(starts_l),
         mapq=np.full(n, 60, np.uint8),
         flag=np.zeros(n, np.uint16),
         tlen=np.where(np.arange(n) % 2 == 0, 300, -300).astype(np.int32),
@@ -57,30 +62,39 @@ def make_case(rng, L=400_000, depth=40, read_len=150, err=0.01):
         cigar=np.tile(cigar, n),
         cigar_off=np.arange(n, dtype=np.int64),
         cigar_len=np.ones(n, np.int32),
-        seq=nib.reshape(-1),
+        seq=np.concatenate([nb.reshape(-1) for nb in nibs]),
         seq_off=(np.arange(n, dtype=np.int64) * read_len),
         qual=np.full(n * read_len, 35, np.uint8),
         qual_off=(np.arange(n, dtype=np.int64) * read_len),
     )
-    return true, batch, n_reads
+    return names, trues, batch, n
 
 
 def main():
     rng = np.random.default_rng(0)
-    true, batch, n_reads = make_case(rng, L=200_000)
-    from nextpolish_tpu.models.score_chain import AlgoConfig, score_chain_contig
+    names, trues, batch, n_reads = make_case(rng)
+    from nextpolish_tpu.models.score_chain import (
+        AlgoConfig,
+        score_chain_pipeline,
+    )
 
     cfg = AlgoConfig()
+
+    def run_all():
+        out = list(score_chain_pipeline(zip(names, trues), batch, cfg))
+        return out
+
     # first pass pays XLA compilation; report the best of 5 warm passes
     # (the dev VM's 2-core host throttles erratically — best-of reduces
     # scheduler noise; the kernels themselves are deterministic)
-    _ = score_chain_contig("ctg", true, batch, cfg)
+    polished = run_all()
+    for (_, seq), true in zip(polished, trues):
+        assert abs(len(seq) - len(true)) < len(true) * 0.01
     dt = float("inf")
     for _i in range(5):
         t0 = time.time()
-        polished = score_chain_contig("ctg", true, batch, cfg)
+        run_all()
         dt = min(dt, time.time() - t0)
-    assert abs(len(polished) - len(true)) < len(true) * 0.01
     reads_per_s = n_reads / dt
     print(json.dumps({
         "metric": "task1_polish_reads_per_s_per_chip",

@@ -144,10 +144,17 @@ def _coverage_of_sparse(uk, cn, choice, n_dp) -> np.ndarray:
 
 def _apply_correction_sparse(state: ContigState, p, cell0: int, rate: float,
                              cfg: AlgoConfig) -> None:
-    from ..ops.tropical import run_chain_sparse
+    from ..ops.tropical import dispatch_chain_sparse
 
     n_dp = p.index.n_cells_dp
-    choice = run_chain_sparse(p.uk, p.cn, p.refkmer, p.total, n_dp, rate)
+    dev = dispatch_chain_sparse(p.uk, p.cn, p.refkmer, p.total, n_dp, rate)
+    _finish_correction_sparse(state, p, cell0, dev, cfg)
+
+
+def _finish_correction_sparse(state: ContigState, p, cell0: int, dev,
+                              cfg: AlgoConfig) -> None:
+    n_dp = p.index.n_cells_dp
+    choice = np.asarray(dev)[:n_dp]
     cells = cell0 + np.arange(n_dp)
     state.base[cells] = choice
     total = p.total[:n_dp].astype(np.int64)
@@ -177,20 +184,65 @@ def _apply_correction(state: ContigState, p: pl.Pileup, cell0: int,
     _apply_choice(state, n_dp, choice, p.counts, p.total, cell0, cfg)
 
 
+def score_chain_contig_begin(name: str, draft: bytes, batch: AlnBatch,
+                             cfg: AlgoConfig, levels=None):
+    """Pipelined task-1 entry, stage 1: host pileup + async DP dispatch.
+
+    Returns a handle for score_chain_contig_end.  While the device runs
+    this contig's chain scan, the caller can begin() the next contig —
+    the host pileup walk and the device DP overlap (the two are roughly
+    equal cost, so the pipeline nearly doubles multi-contig throughput)."""
+    from ..ops.tropical import dispatch_chain_sparse
+
+    tid = batch.header.name2id(name)
+    L = len(draft)
+    if levels is None:
+        levels = pl.filter_sgs_chain(batch)
+    index = pl.build_cell_index(batch, levels, tid, 0, L - 1)
+    state = ContigState.from_draft(name, draft, index)
+    contig_nib = ASCII_TO_NIB[np.frombuffer(draft, dtype=np.uint8)]
+    view = state.index.region_view(0, L - 1)
+    cell0 = int(state.index.cell_of[0 - state.index.start])
+    p = pl.build_pileup_sparse(batch, levels, 1, view, tid, contig_nib,
+                               cfg.trim_len_edge)
+    dev = dispatch_chain_sparse(p.uk, p.cn, p.refkmer, p.total,
+                                p.index.n_cells_dp,
+                                cfg.indel_balance_factor_sgs)
+    return state, p, cell0, dev, cfg
+
+
+def score_chain_contig_end(handle) -> bytes:
+    """Pipelined task-1 entry, stage 2: fetch the DP result, apply flags,
+    emit the polished sequence."""
+    state, p, cell0, dev, cfg = handle
+    _finish_correction_sparse(state, p, cell0, dev, cfg)
+    return state.emit(FLAG_ZERO | FLAG_COVERAGE)
+
+
 def score_chain_contig(name: str, draft: bytes, batch: AlnBatch,
                        cfg: AlgoConfig) -> bytes:
     """Task 1 entry for one contig: polished sequence bytes
     (score_chain, lib/scorechain.c:3-15)."""
-    tid = batch.header.name2id(name)
-    L = len(draft)
-    levels = pl.filter_sgs_chain(batch)
-    index = pl.build_cell_index(batch, levels, tid, 0, L - 1)
-    state = ContigState.from_draft(name, draft, index)
-    contig_nib = ASCII_TO_NIB[np.frombuffer(draft, dtype=np.uint8)]
-    score_correct_region(state, batch, levels, tid, contig_nib, 0, L - 1,
-                         filterlevel=1, rate=cfg.indel_balance_factor_sgs,
-                         cfg=cfg)
-    return state.emit(FLAG_ZERO | FLAG_COVERAGE)
+    return score_chain_contig_end(
+        score_chain_contig_begin(name, draft, batch, cfg))
+
+
+def score_chain_pipeline(names_seqs, batch: AlnBatch, cfg: AlgoConfig):
+    """Depth-2 software pipeline over contigs: the device chain scan of
+    contig i runs while the host builds contig i+1's pileup (the TPU
+    analog of the reference's multiprocessing Pool over contigs,
+    lib/nextpolish1.py:223-224).  Yields (name, polished bytes) in order."""
+    levels = None
+    prev = None
+    for name, seq in names_seqs:
+        if levels is None:
+            levels = pl.filter_sgs_chain(batch)
+        h = score_chain_contig_begin(name, seq, batch, cfg, levels=levels)
+        if prev is not None:
+            yield prev[0], score_chain_contig_end(prev[1])
+        prev = (name, h)
+    if prev is not None:
+        yield prev[0], score_chain_contig_end(prev[1])
 
 
 def td_score_chain_contig(name: str, draft: bytes, batch: AlnBatch,

@@ -137,9 +137,12 @@ def chain_correct_packed(buf, L, E, chunk=CHUNK):
     s0mask = buf[2 * E + 3 * L]
     rate = jax.lax.bitcast_convert_type(buf[2 * E + 3 * L + 1], jnp.float32)
     s0 = jnp.where((s0mask >> jnp.arange(S)) & 1 != 0, jnp.float32(0.0), NEG)
-    dense = jnp.zeros((L * K3,), jnp.uint16).at[uk].add(cn)
-    choice, _ = chain_correct(dense.reshape(L, K3), rk, total, valid, rate,
-                              s0, chunk=chunk)
+    # keys are unique and sorted (padding -> a trash slot at L*K3), which
+    # lets XLA lower the scatter without serializing the updates
+    dense = jnp.zeros((L * K3 + 1,), jnp.uint16).at[uk].set(
+        cn, indices_are_sorted=True, unique_indices=True)
+    choice, _ = chain_correct(dense[:L * K3].reshape(L, K3), rk, total,
+                              valid, rate, s0, chunk=chunk)
     return choice
 
 
@@ -226,6 +229,17 @@ def run_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
                      rate: float, chunk: int = CHUNK) -> np.ndarray:
     """Sparse-key host wrapper: uk_in = sorted cell*K3+kmer keys (any cells
     >= n_dp are trimmed), cn_in = counts."""
+    choice = dispatch_chain_sparse(uk_in, cn_in, refkmer, total, n_dp, rate,
+                                   chunk)
+    return np.asarray(choice)[:n_dp]
+
+
+def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
+                          refkmer: np.ndarray, total: np.ndarray, n_dp: int,
+                          rate: float, chunk: int = CHUNK):
+    """Launch the chain DP and return the device array WITHOUT fetching —
+    jax dispatch is async, so the caller can overlap host work (the next
+    contig's pileup) with the device scan, then np.asarray() the result."""
     L = pad_to_chunk(max(n_dp, 1), chunk)
     rk = np.zeros(L, dtype=np.int32)
     rk[:n_dp] = refkmer[:n_dp]
@@ -240,6 +254,7 @@ def run_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
     s0mask = 1 | int(np.bitwise_or.reduce(
         1 << np.unique((k0 >> 3) & 7))) if len(k0) else 1
     buf = np.zeros(2 * E + 3 * L + 2, dtype=np.int32)
+    buf[:E] = L * K3  # pad keys target the trash slot past the dense array
     buf[: len(nz)] = nz
     buf[E : E + len(nz)] = np.minimum(cn_in[:hi], np.iinfo(np.uint16).max)
     buf[2 * E : 2 * E + L] = rk
@@ -247,8 +262,7 @@ def run_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
     buf[2 * E + 2 * L : 2 * E + 3 * L] = v
     buf[2 * E + 3 * L] = s0mask
     buf[2 * E + 3 * L + 1] = np.float32(rate).view(np.int32)
-    choice = chain_correct_packed(buf, L, E, chunk=chunk)
-    return np.asarray(choice)[:n_dp]
+    return chain_correct_packed(buf, L, E, chunk=chunk)
 
 
 def slow_fg(A: np.ndarray, s0: np.ndarray):

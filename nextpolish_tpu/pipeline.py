@@ -160,15 +160,21 @@ class Pipeline:
         todo = [n for n in mine if n not in done]
         if not todo:
             return
+        engine = None
         if task in (1, 2):
             batch = self.map_sgs(genome)
             if task == 2:
                 self.algo.read_tlen = estimate_read_tlen(batch, self.algo)
             from .models.kmer_count import kmer_count_contig
-            from .models.score_chain import score_chain_contig
+            from .models.score_chain import score_chain_pipeline
 
-            fn = score_chain_contig if task == 1 else kmer_count_contig
-            engine = lambda name, seq: fn(name, seq, batch, self.algo)
+            if task == 1:
+                results = score_chain_pipeline(
+                    ((n, genome.fetch(n).seq) for n in todo), batch,
+                    self.algo)
+            else:
+                engine = lambda name, seq: kmer_count_contig(
+                    name, seq, batch, self.algo)
         elif task in (3, 4):
             sgs = self.map_sgs(genome)
             self.algo.read_tlen = estimate_read_tlen(sgs, self.algo)
@@ -192,10 +198,11 @@ class Pipeline:
         else:
             raise ValueError(f"unknown task {task}")
 
+        if engine is not None:
+            results = ((n, engine(n, genome.fetch(n).seq)) for n in todo)
         mode = "ab" if done else "wb"
         with open(outfile, mode) as out:
-            for name in todo:
-                seq = engine(name, genome.fetch(name).seq)
+            for name, seq in results:
                 if isinstance(seq, bytes):
                     parts = [(name, seq)]
                 else:

@@ -103,10 +103,9 @@ def main(argv=None):
         cfg.read_tlen = estimate_read_tlen(sgs, cfg)
         lgs = read_bam(args.bam_lgs) if args.bam_lgs else None
 
+    engine = None
     if args.task == 1:
-        from .models.score_chain import score_chain_contig as fn
-
-        engine = lambda n, s: fn(n, s, sgs, cfg)
+        from .models.score_chain import score_chain_pipeline
     elif args.task == 2:
         from .models.kmer_count import kmer_count_contig as fn
 
@@ -130,11 +129,18 @@ def main(argv=None):
         out = open(args.out, "ab" if done else "wb")
     else:
         out = sys.stdout.buffer
+    todo = []
     for name in genome.names:
         if name in done:
             log.warning("Skip polished seq: %s", name)
             continue
-        seq = engine(name, genome.fetch(name).seq)
+        todo.append(name)
+    if engine is not None:
+        results = ((n, engine(n, genome.fetch(n).seq)) for n in todo)
+    else:
+        results = score_chain_pipeline(
+            ((n, genome.fetch(n).seq) for n in todo), sgs, cfg)
+    for name, seq in results:
         if args.uppercase:
             seq = seq.upper()
         out.write(b">" + name.encode() + b" " + str(len(seq)).encode()
