@@ -168,3 +168,22 @@ def test_score_chain_noisy_reads():
     polished = score_chain_contig("ctg1", draft, batch, AlgoConfig())
     # with 1% read error at ~33x depth, consensus should still be exact
     assert polished.upper() == true
+
+
+def test_score_chain_pipeline_matches_serial():
+    """The depth-2 dispatch/fetch pipeline must emit exactly what the
+    serial per-contig path emits."""
+    from nextpolish_tpu.models.score_chain import score_chain_pipeline
+
+    rng = np.random.default_rng(7)
+    true = rand_seq(rng, 900)
+    draft, ops = make_draft(rng, true, n_edits=6)
+    recs = simulate_reads(rng, true, ops, read_len=100, step=4)
+    batch = records_to_batch(recs, len(draft))
+    cfg = AlgoConfig()
+    serial = score_chain_contig("ctg1", draft, batch, cfg)
+    piped = list(score_chain_pipeline([("ctg1", draft)] * 3, batch, cfg))
+    assert len(piped) == 3
+    for pname, pseq in piped:
+        assert pname == "ctg1"
+        assert pseq == serial
