@@ -127,3 +127,45 @@ def test_bam_select(tmp_path):
     assert len(sub) == 1
     assert sub.names == ["r1"]
     assert bamio.cigar_to_string(sub.rec_cigar(0)) == "4M1I3M1D2M"
+
+
+def test_seq_count_cli(tmp_path, capsys):
+    import gzip
+
+    from nextpolish_tpu.seq_count import main as seq_count_main
+
+    p = tmp_path / "r.fq.gz"
+    with gzip.open(p, "wt") as fh:
+        for i, ln in enumerate((500, 1500, 2500, 3500)):
+            fh.write(f"@r{i}\n{'A' * ln}\n+\n{'I' * ln}\n")
+    (tmp_path / "in.fofn").write_text("r.fq.gz\n")
+    rc = seq_count_main(["-g", "1k", "-f", "1k", str(tmp_path / "in.fofn")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "N50" in out and "8000" in out  # total bases
+
+
+def test_seq_split_cli(tmp_path, capsys):
+    import gzip
+
+    from nextpolish_tpu.io.fasta import read_fastx
+    from nextpolish_tpu.seq_split import main as seq_split_main
+
+    r1, r2 = tmp_path / "r1.fq.gz", tmp_path / "r2.fq.gz"
+    for p, tag in ((r1, "a"), (r2, "b")):
+        with gzip.open(p, "wt") as fh:
+            for i in range(30):
+                seq = "ACGT" * 40 if i % 10 else "ACGTN" * 32  # every 10th has N
+                fh.write(f"@{tag}{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    (tmp_path / "in.fofn").write_text("r1.fq.gz\nr2.fq.gz\n")
+    rc = seq_split_main(["-n", "3", "-d", str(tmp_path / "parts"),
+                         "-p", "chunk", str(tmp_path / "in.fofn")])
+    assert rc == 0
+    outs = sorted((tmp_path / "parts").glob("chunk.*.fasta.gz"))
+    assert len(outs) == 3
+    reads = [r for p in outs for r in read_fastx(str(p))]
+    # 30 pairs, 3 N-pairs dropped -> 54 reads, none with N, balanced parts
+    assert len(reads) == 54
+    assert not any(b"N" in r.seq for r in reads)
+    sizes = [sum(len(r.seq) for r in read_fastx(str(p))) for p in outs]
+    assert max(sizes) - min(sizes) <= 4 * 160
