@@ -153,7 +153,7 @@ def seed_votes_batch(idx: GenomeIndex, codes_mat: np.ndarray,
         # neighbor must be same read+strand (high bits equal)
         ok2 &= (ukey >> 33) == ((ukey + d) >> 33)
         merged[ok2] += counts[j[ok2]]
-    # per-read best by merged count (stable: first max wins)
+    # per-read best by merged count
     krid = (ukey >> 34).astype(np.int64)
     order = np.lexsort((-merged, krid))
     ks, km = ukey[order], merged[order]
@@ -162,8 +162,20 @@ def seed_votes_batch(idx: GenomeIndex, codes_mat: np.ndarray,
     first[1:] = kr[1:] != kr[:-1]
     best_key = np.zeros(N, dtype=np.int64)
     best_cnt = np.zeros(N, dtype=np.int64)
-    best_key[kr[first]] = ks[first]
-    best_cnt[kr[first]] = km[first]
+    fidx0 = np.flatnonzero(first)
+    # bwa-like tie handling: among equally-supported placements pick one
+    # pseudo-randomly per read (hash of the read id).  A stable first-wins
+    # choice sends EVERY ambiguous read to the same copy of a repeat,
+    # leaving the other copy with zero coverage; hashing splits them.
+    blk = np.cumsum(first) - 1
+    tied = km == km[fidx0][blk]
+    ntied = np.add.reduceat(tied.astype(np.int64), fidx0)
+    rids0 = kr[fidx0]
+    h = (rids0.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+         ) >> np.uint64(33)
+    pick = fidx0 + (h % ntied.astype(np.uint64)).astype(np.int64)
+    best_key[rids0] = ks[pick]
+    best_cnt[rids0] = km[pick]
     # second best: first (= highest-merged) entry for the read whose bin
     # is not adjacent to the winner or is on the other strand
     second = np.zeros(N, dtype=np.int64)
