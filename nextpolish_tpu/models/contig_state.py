@@ -95,6 +95,44 @@ class ContigState:
         self.flag[cells] |= flag_bit
 
 
+def debug_points(state: ContigState, draft: bytes) -> list:
+    """PolishPoint trace for -debug (the trace_polish_open branch of
+    contig_get_contig, lib/contig.c:743-777): one (pos, index, curbase,
+    draftbase) per changed base.  curbase '.' marks a deleted draft base;
+    draftbase '.' marks an inserted one.  curbase is reported uppercase
+    (recorded before lowercase flagging, like the reference)."""
+    idx = state.index
+    n = idx.n_cells_dp
+    cell_pos = idx.cell_pos()[:n]
+    cell_j = np.arange(n) - idx.cell_of[cell_pos - idx.start]
+    base = state.base[:n]
+    dr = np.frombuffer(draft, dtype=np.uint8)
+    dr_up = np.where((dr >= 97) & (dr <= 122), dr - 32, dr)
+    is_del = base == DEL
+    ch = SYM_TO_ASCII[base]
+    dch = dr_up[cell_pos]
+    m = (is_del & (cell_j == 0)) | ((~is_del) & (cell_j > 0)) \
+        | ((~is_del) & (cell_j == 0) & (ch != dch))
+    pts = []
+    for c in np.flatnonzero(m):
+        if is_del[c]:
+            pts.append((int(cell_pos[c]), 0, ".", chr(dch[c])))
+        elif cell_j[c] > 0:
+            pts.append((int(cell_pos[c]), int(cell_j[c]), chr(ch[c]), "."))
+        else:
+            pts.append((int(cell_pos[c]), 0, chr(ch[c]), chr(dch[c])))
+    return pts
+
+
+def maybe_trace(cfg, name: str, state: ContigState, draft: bytes) -> None:
+    """Append this contig's PolishPoints to cfg.trace_sink when -debug is
+    active (lib/nextpolish1.py:230-231 stderr reporting)."""
+    sink = getattr(cfg, "trace_sink", None)
+    if sink is not None:
+        for p in debug_points(state, draft):
+            sink.append((name,) + p)
+
+
 def brim_region(state: ContigState, qs: int, qe: int, bstart: int, bend: int,
                 flag_bit: int, extend: bool, ext_len_edge: int
                 ) -> tuple[int, int]:

@@ -19,7 +19,8 @@ import numpy as np
 from ..io.bam import AlnBatch
 from ..io.fasta import ASCII_TO_NIB
 from ..ops import pileup as pl
-from .contig_state import ContigState, find_regions, merge_regions
+from .contig_state import (ContigState, find_regions, maybe_trace,
+                           merge_regions)
 from .flags import FLAG_ZERO
 from .score_chain import AlgoConfig, score_correct_region
 
@@ -213,4 +214,5 @@ def kmer_count_contig(name: str, draft: bytes, batch: AlnBatch,
         for s, e in pieces:
             kmer_vote_region(state, batch, levels, tid, s, e, cfg)
 
+    maybe_trace(cfg, name, state, draft)
     return state.emit(FLAG_ZERO)

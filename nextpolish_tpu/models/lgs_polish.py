@@ -18,7 +18,7 @@ import numpy as np
 
 from ..io.bam import AlnBatch
 from ..ops import pileup as pl
-from .contig_state import ContigState, draft_to_syms
+from .contig_state import ContigState, draft_to_syms, maybe_trace
 from .score_chain import AlgoConfig
 
 BASE_DEL = 3
@@ -202,4 +202,5 @@ def lgspolish_contig(name: str, draft: bytes, lgs_batch: AlnBatch,
         gi = ent2[1]
         c = nc
     state.base = new_base
+    maybe_trace(cfg, name, state, draft)
     return state.emit(0)

@@ -20,7 +20,8 @@ from ..io.fasta import ASCII_TO_NIB
 from ..ops import pileup as pl
 from ..ops.symbols import K3, S
 from ..ops.tropical import chain_correct, init_state, pad_to_chunk
-from .contig_state import ContigState, find_regions, merge_regions
+from .contig_state import (ContigState, find_regions, maybe_trace,
+                           merge_regions)
 from .flags import FLAG_COVERAGE, FLAG_ZERO
 
 
@@ -53,6 +54,9 @@ class AlgoConfig:
     max_variant_count_lgs: int = 150000
     read_tlen: int = 0  # estimated insert size * max_ins_fold_sgs
     read_len: int = 0  # first read's length (Configure.read_len)
+    # -debug (trace_polish_open, lib/config.c:40): when a list, engines
+    # append (name, pos, index, curbase, draftbase) per changed base
+    trace_sink: list | None = None
 
 
 def estimate_read_tlen(batch: AlnBatch, cfg: AlgoConfig) -> int:
@@ -208,14 +212,15 @@ def score_chain_contig_begin(name: str, draft: bytes, batch: AlnBatch,
     dev = dispatch_chain_sparse(p.uk, p.cn, p.refkmer, p.total,
                                 p.index.n_cells_dp,
                                 cfg.indel_balance_factor_sgs)
-    return state, p, cell0, dev, cfg
+    return state, p, cell0, dev, cfg, draft
 
 
 def score_chain_contig_end(handle) -> bytes:
     """Pipelined task-1 entry, stage 2: fetch the DP result, apply flags,
     emit the polished sequence."""
-    state, p, cell0, dev, cfg = handle
+    state, p, cell0, dev, cfg, draft = handle
     _finish_correction_sparse(state, p, cell0, dev, cfg)
+    maybe_trace(cfg, state.name, state, draft)
     return state.emit(FLAG_ZERO | FLAG_COVERAGE)
 
 
@@ -258,4 +263,5 @@ def td_score_chain_contig(name: str, draft: bytes, batch: AlnBatch,
     score_correct_region(state, batch, levels, tid, contig_nib, 0, L - 1,
                          filterlevel=1, rate=cfg.indel_balance_factor_lgs,
                          cfg=cfg)
+    maybe_trace(cfg, name, state, draft)
     return state.emit(0)

@@ -34,7 +34,8 @@ from ..io.bam import AlnBatch
 from ..io.fasta import ASCII_TO_NIB
 from ..ops import pileup as pl
 from ..ops.symbols import DEL, NIB_TO_SYM, S
-from .contig_state import ContigState, find_regions, merge_regions
+from .contig_state import (ContigState, find_regions, maybe_trace,
+                           merge_regions)
 from .flags import FLAG_DEPTH, FLAG_INSERT, FLAG_SNP, FLAG_THIRD, FLAG_ZERO
 from .score_chain import AlgoConfig, run_chain_region
 
@@ -156,6 +157,7 @@ def snp_phase_contig(name: str, draft: bytes, sgs_batch: AlnBatch,
         _snps_score(state, sites, cfg)
         _snps_correct(state, sites)
 
+    maybe_trace(cfg, name, state, draft)
     return state.emit(FLAG_THIRD)
 
 

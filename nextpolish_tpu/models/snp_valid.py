@@ -12,7 +12,8 @@ import numpy as np
 
 from ..io.bam import AlnBatch
 from ..ops import pileup as pl
-from .contig_state import ContigState, find_regions, merge_regions
+from .contig_state import (ContigState, find_regions, maybe_trace,
+                           merge_regions)
 from .flags import FLAG_ZERO
 from .kmer_count import kmer_vote_region, split_regions
 from .score_chain import AlgoConfig
@@ -79,4 +80,5 @@ def snp_valid_contig(name: str, draft: bytes, sgs_batch: AlnBatch,
         for s2, e2 in _fts_split(state, s, e, FLAG_ZERO):
             kmer_vote_region(state, batch, levels, tid, s2, e2, cfg,
                              flagzero=0)
+    maybe_trace(cfg, name, state, draft)
     return state.emit(0)

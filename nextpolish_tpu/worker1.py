@@ -37,6 +37,9 @@ def build_argparser():
                    choices=[1, 2, 3, 4, 5])
     p.add_argument("-o", "--out", default="stdout")
     p.add_argument("-u", "--uppercase", action="store_true")
+    p.add_argument("-debug", action="store_true",
+                   help="output details of polished bases to stderr "
+                        "(lib/nextpolish1.py -debug)")
     p.add_argument("-p", "--process", type=int, default=1,
                    help="accepted for CLI parity; device batching replaces "
                         "process pools")
@@ -91,6 +94,8 @@ def main(argv=None):
         max_snp_factor_lgs=args.max_snp_factor_lgs,
         min_snp_factor_sgs=args.min_snp_factor_sgs,
     )
+    if args.debug:
+        cfg.trace_sink = []
     genome = FastaIndex(args.genome)
     if args.task == 5:
         # legacy lgspolish: only the long-read BAM is required
@@ -146,6 +151,12 @@ def main(argv=None):
         out.write(b">" + name.encode() + b" " + str(len(seq)).encode()
                   + b"\n" + seq + b"\n")
         out.flush()
+        if cfg.trace_sink:
+            # `seq pos index curbase draftbase` per changed base
+            # (lib/nextpolish1.py:230-231)
+            for pname, pos, j, cur, old in cfg.trace_sink:
+                print(f"{pname} {pos} {j} {cur} {old}", file=sys.stderr)
+            cfg.trace_sink.clear()
     if args.out != "stdout":
         out.close()
     return 0

@@ -389,3 +389,87 @@ def test_snp_phase_byte_parity(ref_lib, tmp_path):
     cfg2.read_tlen = estimate_read_tlen(sgs, cfg2)
     ours4 = snp_valid_contig("ctg1", ref3, sgs, lgs, cfg2)
     assert ours4 == ref4
+
+
+def test_debug_trace_parity(ref_lib, tmp_path):
+    """-debug PolishPoint trace (trace_polish_open): our debug_points must
+    report the same (pos, index, curbase, draftbase) tuples as the
+    reference engine's trace (lib/contig.c:743-777)."""
+    import ctypes
+
+    from util_sim import make_draft, rand_seq, records_to_batch, simulate_reads
+
+    rng = np.random.default_rng(9)
+    # error-free reads: no low-qv tie sites, so the two engines emit the
+    # same sequence and the traces must be identical (tie sites resolve
+    # differently by documented deviation and are excluded from parity)
+    true = rand_seq(rng, 3000)
+    draft, ops = make_draft(rng, true, n_edits=8)
+    recs = simulate_reads(rng, true, ops, read_len=100, step=8, err_rate=0.0)
+    batch = records_to_batch(recs, len(draft))
+    fa = str(tmp_path / "genome.fa")
+    open(fa, "wb").write(b">ctg1\n" + draft + b"\n")
+    from ref_parity import PolishPoint, PolishResult, batch_to_bam, write_fai
+
+    write_fai(fa)
+    bam = str(tmp_path / "reads.sort.bam")
+    batch_to_bam(batch, bam)
+
+    # enable trace_polish_open: mirror of lib/config.h:25-67 field layout
+    class _Cfg(ctypes.Structure):
+        _fields_ = [
+            ("trim_len_edge", ctypes.c_uint8),
+            ("ext_len_edge", ctypes.c_uint8),
+            ("min_map_quality", ctypes.c_uint8),
+            ("indel_balance_factor_sgs", ctypes.c_double),
+            ("min_count_ratio_skip", ctypes.c_double),
+            ("min_len_ldr", ctypes.c_uint8),
+            ("min_len_inter_kmer", ctypes.c_uint8),
+            ("max_len_kmer", ctypes.c_uint8),
+            ("max_count_kmer", ctypes.c_uint8),
+            ("min_depth_snp", ctypes.c_uint8),
+            ("min_count_snp", ctypes.c_uint8),
+            ("min_count_snp_link", ctypes.c_int8),
+            ("ploidy", ctypes.c_double),
+            ("indel_balance_factor_lgs", ctypes.c_double),
+            ("max_indel_factor_lgs", ctypes.c_double),
+            ("max_snp_factor_lgs", ctypes.c_double),
+            ("min_snp_factor_sgs", ctypes.c_double),
+            ("region_count", ctypes.c_int32),
+            ("count_read_ins_sgs", ctypes.c_uint32),
+            ("max_ins_len_sgs", ctypes.c_uint32),
+            ("max_ins_fold_sgs", ctypes.c_int32),
+            ("max_variant_count_lgs", ctypes.c_int32),
+            ("max_clip_ratio_sgs", ctypes.c_double),
+            ("max_clip_ratio_lgs", ctypes.c_double),
+            ("trace_polish_open", ctypes.c_int32),
+        ]
+
+    cfgp = ref_lib.config_init(fa.encode(), bam.encode(), b"/nonexistent")
+    cfg_struct = ctypes.cast(cfgp, ctypes.POINTER(_Cfg))
+    cfg_struct.contents.trace_polish_open = 1
+    res = ctypes.cast(ref_lib.score_chain(b"ctg1", cfgp),
+                      ctypes.POINTER(PolishResult))
+    n = res.contents.datalength
+    ref_pts = [
+        (res.contents.data[i].pos, res.contents.data[i].index,
+         res.contents.data[i].curbase.decode(),
+         res.contents.data[i].base.decode())
+        for i in range(n)
+    ]
+
+    from nextpolish_tpu.models.score_chain import (
+        AlgoConfig,
+        score_chain_contig,
+    )
+
+    mycfg = AlgoConfig(trace_sink=[])
+    out = score_chain_contig("ctg1", draft, batch, mycfg)
+    assert out == ctypes.string_at(res.contents.contig)
+    my_pts = [(p, j, c, b) for (_, p, j, c, b) in mycfg.trace_sink]
+    ref_set = set(ref_pts)
+    assert set(my_pts) == ref_set, (
+        f"trace mismatch: ours-only={set(my_pts) - ref_set} "
+        f"ref-only={ref_set - set(my_pts)}"
+    )
+    assert len(my_pts) > 0  # the planted edits must show up
