@@ -13,7 +13,8 @@ import numpy as np
 NIB_TO_ASCII = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
 
 
-def main(query_fa: str, target_fa: str):
+def asm_stats(query_fa: str, target_fa: str):
+    """(mismatches, indel_bases, aligned_bases) of query vs target."""
     from nextpolish_tpu.align.index import GenomeIndex
     from nextpolish_tpu.align.longread import map_long_batch
     from nextpolish_tpu.io.bam import FSUPPLEMENTARY, FUNMAP
@@ -46,6 +47,11 @@ def main(query_fa: str, target_fa: str):
                 rj += ln
             elif op == 4:  # S
                 qi += ln
+    return mm, ind, aligned
+
+
+def main(query_fa: str, target_fa: str):
+    mm, ind, aligned = asm_stats(query_fa, target_fa)
     print(f"mismatches={mm} indel_bases={ind} aligned={aligned}")
     return mm, ind
 

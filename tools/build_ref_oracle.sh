@@ -9,8 +9,32 @@ DST=/tmp/refbuild
 STUBINC=/tmp/stubinc
 STUBLIB=/tmp/stublib
 
+build_aligners() {
+  # The reference's vendored aligners, as *validation oracles* (never
+  # shipped): bwa mem / samtools / minimap2 let the accuracy harness run
+  # the reference's own mapping commands side-by-side with the built-in
+  # mapper (tools/accuracy_bench.py, docs/VALIDATION.md).
+  if [ ! -x $DST/util/bwa/bwa ]; then
+    make -C $DST/util/bwa -j8 \
+      CFLAGS="-g -Wall -Wno-unused-function -O2 -fcommon" >/dev/null
+  fi
+  if [ ! -x $DST/util/minimap2/minimap2 ]; then
+    make -C $DST/util/minimap2 -j8 >/dev/null
+  fi
+  if [ ! -x $DST/util/samtools/samtools ]; then
+    ( cd $DST/util/samtools && \
+      printf '/* no curses */\n' > config.h && \
+      sed -i 's/^CURSES_LIB = .*/CURSES_LIB =/' config.mk 2>/dev/null; \
+      make -j8 HTSDIR=$DST/lib/htslib \
+        CFLAGS="-g -Wall -O2 -fcommon -I$STUBINC" \
+        LDFLAGS="-L$STUBLIB" samtools >/dev/null )
+  fi
+  echo "aligners: $DST/util/bwa/bwa $DST/util/samtools/samtools $DST/util/minimap2/minimap2"
+}
+
 if [ -f $DST/lib/nextpolish1.so ] && [ -f $DST/lib/nextpolish2.so ]; then
   echo "already built: $DST/lib/nextpolish{1,2}.so"
+  build_aligners
   exit 0
 fi
 
@@ -99,3 +123,4 @@ gcc -Wall -O3 -std=c99 -fPIC -shared -Wno-unused-function -DLGS_CORRECT \
   htslib/libhts.a -I. -I./htslib -I$STUBINC \
   -lpthread -lm -L$STUBLIB -lbz2 -llzma -lz
 echo "built: $DST/lib/nextpolish1.so $DST/lib/nextpolish2.so"
+build_aligners
