@@ -82,10 +82,11 @@ def _coverage_of(counts: np.ndarray, choice: np.ndarray) -> np.ndarray:
 
 
 def run_chain_region(counts: np.ndarray, refkmer: np.ndarray,
-                     total: np.ndarray, n_dp: int, rate: float) -> np.ndarray:
+                     total: np.ndarray, n_dp: int, rate: float,
+                     rank: np.ndarray | None = None) -> np.ndarray:
     from ..ops.tropical import run_chain
 
-    return run_chain(counts, refkmer, total, n_dp, rate)
+    return run_chain(counts, refkmer, total, n_dp, rate, rank=rank)
 
 
 def score_correct_region(state: ContigState, batch: AlnBatch,
@@ -124,7 +125,14 @@ def score_correct_region(state: ContigState, batch: AlnBatch,
             total = p.total[lo:hi] + np.bincount(
                 ex.cells, minlength=sub.n_cells
             )[: sub.n_cells_dp].astype(np.int32)
-            problems.append((counts, p.refkmer[lo:hi], total))
+            # ranks: the level-2 parse's data lists persist; level-1 kmers
+            # append after them (lib/contig.c:721-733, no base_clean_data)
+            rank = pl.event_ranks(
+                ex.cells[ex.cells < sub.n_cells_dp],
+                ex.kmers()[ex.cells < sub.n_cells_dp].astype(np.int64),
+                sub.n_cells_dp, base_ndistinct=p.ndistinct(lo, hi),
+                base_rank=p.rank_window(lo, hi))
+            problems.append((counts, p.refkmer[lo:hi], total, rank))
             metas.append((sub, sub_cell0, counts, total))
         from ..ops.tropical import run_chain_batch
 
@@ -151,7 +159,8 @@ def _apply_correction_sparse(state: ContigState, p, cell0: int, rate: float,
     from ..ops.tropical import dispatch_chain_sparse
 
     n_dp = p.index.n_cells_dp
-    dev = dispatch_chain_sparse(p.uk, p.cn, p.refkmer, p.total, n_dp, rate)
+    dev = dispatch_chain_sparse(p.uk, p.cn, p.rk, p.refkmer, p.total, n_dp,
+                                rate)
     _finish_correction_sparse(state, p, cell0, dev, cfg)
 
 
@@ -184,7 +193,8 @@ def _apply_correction(state: ContigState, p: pl.Pileup, cell0: int,
                       rate: float, cfg: AlgoConfig) -> None:
     """Chain DP + base/flag update (contig_region_score + _region_correct)."""
     n_dp = p.index.n_cells_dp
-    choice = run_chain_region(p.counts, p.refkmer, p.total, n_dp, rate)
+    choice = run_chain_region(p.counts, p.refkmer, p.total, n_dp, rate,
+                              rank=p.rank)
     _apply_choice(state, n_dp, choice, p.counts, p.total, cell0, cfg)
 
 
@@ -209,7 +219,7 @@ def score_chain_contig_begin(name: str, draft: bytes, batch: AlnBatch,
     cell0 = int(state.index.cell_of[0 - state.index.start])
     p = pl.build_pileup_sparse(batch, levels, 1, view, tid, contig_nib,
                                cfg.trim_len_edge)
-    dev = dispatch_chain_sparse(p.uk, p.cn, p.refkmer, p.total,
+    dev = dispatch_chain_sparse(p.uk, p.cn, p.rk, p.refkmer, p.total,
                                 p.index.n_cells_dp,
                                 cfg.indel_balance_factor_sgs)
     return state, p, cell0, dev, cfg, draft

@@ -502,7 +502,7 @@ def _correct_lower_depth(state, batch, sgs_levels, lgs_batch, lgs_levels,
                                        cfg.trim_len_edge)
         n_dp = view.n_cells_dp
         choice = run_chain_region(p.counts, p.refkmer, p.total, n_dp,
-                                  cfg.indel_balance_factor_lgs)
+                                  cfg.indel_balance_factor_lgs, rank=p.rank)
         cells = cell0 + np.arange(n_dp)
         is_ins = view.is_insert_cell()[:n_dp]
         zero = (state.flag[cells] & FLAG_ZERO) != 0

@@ -181,7 +181,8 @@ def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
                lqseq, start: int, end: int, cell_of, ins_len, n_cells: int,
                n_dp: int, refkmer, trim_len_edge: int):
     """Single-pass native pileup (pileup.cpp).  Returns sorted sparse
-    (uk int64, cn int64, totals int32) or None when unavailable / too big."""
+    (uk int64, cn int64, rk uint16 first-observation ranks, totals int32)
+    or None when unavailable / too big."""
     global _PILEUP_SCRATCH
     lib = _load()
     if lib is None or not hasattr(lib, "npt_pileup_sgs"):
@@ -210,6 +211,7 @@ def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
     totals = np.zeros(n_cells, dtype=np.int32)
     out_uk = ctypes.POINTER(ctypes.c_int64)()
     out_cn = ctypes.POINTER(ctypes.c_int64)()
+    out_rk = ctypes.POINTER(ctypes.c_int64)()
 
     def p(a):
         return a.ctypes.data_as(ctypes.c_void_p)
@@ -221,7 +223,7 @@ def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
         p(ins_len), ctypes.c_longlong(n_cells), ctypes.c_longlong(n_dp),
         p(refkmer) if refkmer is not None else None,
         ctypes.c_int(trim_len_edge), p(counts), p(totals),
-        ctypes.byref(out_uk), ctypes.byref(out_cn),
+        ctypes.byref(out_uk), ctypes.byref(out_cn), ctypes.byref(out_rk),
     )
     if nnz < 0:
         return None
@@ -230,11 +232,13 @@ def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
             np.empty(0, np.int64)
         cn = np.ctypeslib.as_array(out_cn, shape=(nnz,)).copy() if nnz else \
             np.empty(0, np.int64)
+        rk = np.ctypeslib.as_array(out_rk, shape=(nnz,)).copy() if nnz else \
+            np.empty(0, np.int64)
     finally:
-        for ptr in (out_uk, out_cn):
+        for ptr in (out_uk, out_cn, out_rk):
             if ptr:
                 lib.npt_cns_free(ptr)
-    return uk, cn, totals
+    return uk, cn, rk.astype(np.uint16), totals
 
 
 def poa_consensus(seqs):

@@ -33,11 +33,16 @@ inline int kshift(int kmer, int sym) { return ((kmer & 63) << 3) | sym; }
 struct Acc {
   uint16_t *counts;
   int32_t *totals;
-  std::vector<int64_t> dirty;  // keys on their 0 -> 1 transition
+  uint16_t *cellrank;          // next first-observation ordinal per cell
+  std::vector<int64_t> dirty;  // key<<9 | rank, pushed on the 0 -> 1
+                               // transition (observation order = the
+                               // reference's SeqList data insertion order,
+                               // lib/base.c:60-71; rank < 512 since a cell
+                               // has at most 512 distinct 3-mers)
   inline void add(long long cell, int kmer) {
     const long long key = cell * 512 + kmer;
     uint16_t &c = counts[key];
-    if (c == 0) dirty.push_back(key);
+    if (c == 0) dirty.push_back((key << 9) | cellrank[cell]++);
     if (c != SAT) c++;
     totals[cell]++;
   }
@@ -51,8 +56,9 @@ extern "C" {
 // into counts[n_cells*512] / totals[n_cells].  `counts` must be all-zero on
 // entry; this function restores it to all-zero before returning (the caller
 // keeps one persistent scratch buffer — no per-call zeroing of the full
-// table).  Emits the sorted nonzero (key, count) pairs via out_uk/out_cn
-// (malloc'd; free with npt_cns_free).  Returns nnz, or -1 on bad input.
+// table).  Emits the sorted nonzero (key, count, first-observation rank)
+// triples via out_uk/out_cn/out_rk (malloc'd; free with npt_cns_free).
+// Returns nnz, or -1 on bad input.
 long long npt_pileup_sgs(
     const int64_t *ridx, long long n_sel, const int32_t *rpos,
     const uint32_t *cigar, const int64_t *cigar_off, const int32_t *cigar_len,
@@ -60,9 +66,10 @@ long long npt_pileup_sgs(
     long long start, long long end, const int64_t *cell_of,
     const int64_t *ins_len, long long n_cells, long long n_dp,
     const int32_t *refkmer, int trim_len_edge, uint16_t *counts,
-    int32_t *totals, int64_t **out_uk, int64_t **out_cn) {
+    int32_t *totals, int64_t **out_uk, int64_t **out_cn, int64_t **out_rk) {
   if (end < start || n_cells <= 0) return -1;
-  Acc acc{counts, totals, {}};
+  std::vector<uint16_t> cellrank((size_t)n_cells, 0);
+  Acc acc{counts, totals, cellrank.data(), {}};
   acc.dirty.reserve(4096 + 3 * (size_t)n_cells);
 
   // contig-as-read (lib/contig.c:373-383): one emission per DP cell
@@ -153,25 +160,30 @@ long long npt_pileup_sgs(
     }
   }
 
-  // compact + self-clean: dirty holds exactly the nonzero keys
+  // compact + self-clean: dirty holds exactly the nonzero keys; the rank in
+  // the low 9 bits is unique per key so sorting packed values sorts by key
   std::sort(acc.dirty.begin(), acc.dirty.end());
   const long long nnz = (long long)acc.dirty.size();
   int64_t *uk = (int64_t *)malloc(sizeof(int64_t) * (nnz ? nnz : 1));
   int64_t *cn = (int64_t *)malloc(sizeof(int64_t) * (nnz ? nnz : 1));
-  if (!uk || !cn) {
+  int64_t *rk = (int64_t *)malloc(sizeof(int64_t) * (nnz ? nnz : 1));
+  if (!uk || !cn || !rk) {
     free(uk);
     free(cn);
-    for (int64_t key : acc.dirty) counts[key] = 0;
+    free(rk);
+    for (int64_t packed : acc.dirty) counts[packed >> 9] = 0;
     return -1;
   }
   for (long long i = 0; i < nnz; i++) {
-    const int64_t key = acc.dirty[i];
+    const int64_t key = acc.dirty[i] >> 9;
     uk[i] = key;
     cn[i] = counts[key];
+    rk[i] = acc.dirty[i] & 0x1FF;
     counts[key] = 0;
   }
   *out_uk = uk;
   *out_cn = cn;
+  *out_rk = rk;
   return nnz;
 }
 

@@ -80,6 +80,45 @@ class Pileup:
     total: np.ndarray  # [n_cells] int32 — reference's Base.count
     refkmer: np.ndarray  # [n_cells] int32 — contig-as-read rolling 3-mer
     ref_sym: np.ndarray  # [n_cells] uint8 — compact symbol of the draft
+    rank: np.ndarray | None = None  # [n_cells, 512] uint16 — per-cell
+    # first-observation ordinal of each kmer (the reference's SeqList data
+    # insertion order, lib/base.c:60-71); 0xFFFF where unobserved
+
+
+RANK_NONE = np.uint16(0xFFFF)
+
+
+def event_ranks(cells: np.ndarray, kmers: np.ndarray, n: int,
+                base_ndistinct: np.ndarray | None = None,
+                base_rank: np.ndarray | None = None) -> np.ndarray:
+    """Dense [n, K3] first-observation ranks from an event stream given in
+    exact observation order (= the reference's per-cell kmer insertion
+    order).  When base_rank/base_ndistinct are given, new kmers rank after
+    the base pileup's existing ones (re-parse accumulation semantics,
+    lib/contig.c:721-733 — base_clean_data is never called in between)."""
+    rank = (base_rank.copy() if base_rank is not None
+            else np.full((n, K3), RANK_NONE, dtype=np.uint16))
+    if not len(cells):
+        return rank
+    keys = cells * K3 + kmers
+    uniq, first_idx = np.unique(keys, return_index=True)
+    if base_rank is not None:
+        fresh = rank.reshape(-1)[uniq] == RANK_NONE
+        uniq, first_idx = uniq[fresh], first_idx[fresh]
+    ucell = uniq // K3
+    order = np.lexsort((first_idx, ucell))
+    oc = ucell[order]
+    seg_change = np.empty(len(order), dtype=bool)
+    if len(order):
+        seg_change[0] = True
+        seg_change[1:] = oc[1:] != oc[:-1]
+    seg_first = np.flatnonzero(seg_change)
+    seg_id = np.cumsum(seg_change) - 1
+    pos_in_seg = np.arange(len(order)) - seg_first[seg_id]
+    if base_ndistinct is not None:
+        pos_in_seg = pos_in_seg + base_ndistinct[oc]
+    rank.reshape(-1)[uniq[order]] = np.minimum(pos_in_seg, 0xFFFE)
+    return rank
 
 
 # ---------------------------------------------------------------------------
@@ -455,6 +494,23 @@ class SparsePileup:
     total: np.ndarray  # int32 per-cell totals (incl. contig-as-read)
     refkmer: np.ndarray
     ref_sym: np.ndarray
+    rk: np.ndarray  # uint16 per-key first-observation rank (see event_ranks)
+
+    def ndistinct(self, lo: int, hi: int) -> np.ndarray:
+        """Distinct observed kmers per cell in [lo, hi)."""
+        a = np.searchsorted(self.uk, lo * K3)
+        b = np.searchsorted(self.uk, hi * K3)
+        out = np.bincount((self.uk[a:b] // K3 - lo).astype(np.int64),
+                          minlength=hi - lo)
+        return out.astype(np.int64)
+
+    def rank_window(self, lo: int, hi: int) -> np.ndarray:
+        """[hi-lo, K3] uint16 dense ranks for a cell window."""
+        a = np.searchsorted(self.uk, lo * K3)
+        b = np.searchsorted(self.uk, hi * K3)
+        out = np.full((hi - lo, K3), RANK_NONE, dtype=np.uint16)
+        out.reshape(-1)[self.uk[a:b] - lo * K3] = self.rk[a:b]
+        return out
 
     def dense_window(self, lo: int, hi: int) -> np.ndarray:
         """[hi-lo, K3] uint16 counts for a cell window."""
@@ -484,11 +540,17 @@ def build_pileup_sparse(batch: AlnBatch, levels: np.ndarray, level: int,
     ndp = index.n_cells_dp
     keys = ex.cells * K3 + ex.kmers()
     refkeys = np.arange(ndp, dtype=np.int64) * K3 + refkmer[:ndp]
+    # observation order: contig-as-read first, then reads (contig_as_read
+    # runs before contig_parse_region, lib/contig.c:714-716)
+    ordered_cells = np.concatenate([np.arange(ndp, dtype=np.int64), ex.cells])
+    ordered_kmers = np.concatenate([refkmer[:ndp].astype(np.int64),
+                                    ex.kmers().astype(np.int64)])
+    rank_dense = event_ranks(ordered_cells, ordered_kmers, n)
     uk, cn = np.unique(np.concatenate([keys, refkeys]), return_counts=True)
     total = np.bincount(ex.cells, minlength=n).astype(np.int32)
     total[:ndp] += 1
     return SparsePileup(index, uk, cn, total, refkmer.astype(np.int32),
-                        ref_sym)
+                        ref_sym, rank_dense.reshape(-1)[uk])
 
 
 def _native_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
@@ -511,9 +573,9 @@ def _native_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
     )
     if out is None:
         return None
-    uk, cn, total = out
+    uk, cn, rk, total = out
     return SparsePileup(index, uk, cn, total, refkmer.astype(np.int32),
-                        ref_sym)
+                        ref_sym, rk)
 
 
 def build_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
@@ -523,13 +585,19 @@ def build_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
     ex = expand_reads(batch, levels, level, index, tid, trim_len_edge)
     ref_sym, refkmer = ref_stream(index, contig_nib)
     n = index.n_cells
+    ndp = index.n_cells_dp
     counts = sparse_counts(ex.cells, ex.kmers(), n)
     # totals from the event stream (+1 per DP cell for the contig-as-read)
     total = np.bincount(ex.cells, minlength=n).astype(np.int32)
-    dp = np.arange(index.n_cells_dp)
-    counts[dp, refkmer[:index.n_cells_dp]] += 1
-    total[: index.n_cells_dp] += 1
-    return Pileup(index, counts, total, refkmer.astype(np.int32), ref_sym)
+    dp = np.arange(ndp)
+    counts[dp, refkmer[:ndp]] += 1
+    total[:ndp] += 1
+    ordered_cells = np.concatenate([np.arange(ndp, dtype=np.int64), ex.cells])
+    ordered_kmers = np.concatenate([refkmer[:ndp].astype(np.int64),
+                                    ex.kmers().astype(np.int64)])
+    rank = event_ranks(ordered_cells, ordered_kmers, n)
+    return Pileup(index, counts, total, refkmer.astype(np.int32), ref_sym,
+                  rank)
 
 
 def add_reads_to_pileup(pileup: Pileup, batch: AlnBatch, levels: np.ndarray,
@@ -543,7 +611,13 @@ def add_reads_to_pileup(pileup: Pileup, batch: AlnBatch, levels: np.ndarray,
         pileup.counts.astype(np.int32) + extra, np.iinfo(np.uint16).max
     ).astype(np.uint16)
     total = pileup.total + np.bincount(ex.cells, minlength=n).astype(np.int32)
-    return Pileup(pileup.index, counts, total, pileup.refkmer, pileup.ref_sym)
+    rank = pileup.rank
+    if rank is not None:
+        nd = (rank != RANK_NONE).sum(axis=1).astype(np.int64)
+        rank = event_ranks(ex.cells, ex.kmers().astype(np.int64), n,
+                           base_ndistinct=nd, base_rank=rank)
+    return Pileup(pileup.index, counts, total, pileup.refkmer,
+                  pileup.ref_sym, rank)
 
 
 # ---------------------------------------------------------------------------

@@ -22,12 +22,26 @@ chain is then an associative product of A matrices:
   * phase 2: `lax.associative_scan` over chunk products (log depth)
   * phase 3: per-chunk state replay (vmapped) -> forward vector f at every cell
 
-The backward vector g is the same machinery on reversed/transposed matrices,
-and the corrected base at each cell is argmax_b>=1 (f+g) — path-equivalent to
-the C backtrack (ties may resolve differently; see models/score_chain.py).
+Exact traceback with the reference's tie order
+----------------------------------------------
+The C resolves score ties by SeqList insertion order: `base_add_score`
+replaces an entry only on strictly-greater score, and `base_max_score` keeps
+the FIRST maximum in score-list order (lib/base.c:159-199).  Both orders
+reduce to the per-cell *first-observation rank* of each kmer (contig-as-read
+first, then reads in BAM order).  Scores themselves are tie-independent, so:
+
+  * the forward values f come from the tropical scan as before;
+  * a per-cell 8-entry pointer table P[c, b] (predecessor base given base b
+    at cell c) is built elementwise from (em, rank, f[c-1]), selecting the
+    min-rank kmer among per-(cell,base) score winners and resolving
+    base_max_score ties by min insertion rank;
+  * the backtrack b_{c-1} = P[c, b_c] is an iterated composition of
+    {0..7}->{0..7} maps — associative — run as a second tropical scan over
+    0/NEG relation matrices.
 
 Scores are kept in f32 with per-step renormalization (uniform per-cell shifts
-never change any argmax in a tropical chain), avoiding f64 on TPU.
+never change any argmax in a tropical chain); with the default rate grid all
+comparisons stay exact, and tie sites now match the reference byte-for-byte.
 """
 from __future__ import annotations
 
@@ -43,6 +57,7 @@ from .symbols import K3, S
 # initialize the XLA backend before jax.distributed.initialize can run
 NEG = np.float32(-1e9)
 CHUNK = 128
+RANK_BIG = np.int32(1 << 20)  # > any real first-observation rank (< 512)
 
 
 def tropical_compose(a, b):
@@ -54,13 +69,13 @@ def _eye():
     return jnp.full((S, S), NEG).at[jnp.arange(S), jnp.arange(S)].set(0.0)
 
 
-def build_transition(counts, refkmer, total, rate):
-    """Per-cell augmented transition matrices A[L, S, S] from pileup counts.
+def emission(counts, refkmer, total, rate):
+    """Per-cell per-kmer emission scores em[L, K3] (NEG where unobserved).
 
-    Mirrors contig_calculate_score's emission adjustments
-    (lib/contig.c:424-453): candidates are observed kmers only; the draft's
-    own kmer is decremented when the cell has real coverage; the per-cell
-    normalizer uses total-1 when total > 1.
+    Mirrors contig_calculate_score's adjustments (lib/contig.c:424-453):
+    candidates are observed kmers only; the draft's own kmer is decremented
+    when the cell has real coverage; the per-cell normalizer uses total-1
+    when total > 1.
     """
     cnt = counts.astype(jnp.float32)
     valid = counts > 0
@@ -68,9 +83,13 @@ def build_transition(counts, refkmer, total, rate):
     L = counts.shape[0]
     adj = cnt.at[jnp.arange(L), refkmer].add(-dec)
     tot1 = jnp.where(total > 1, total - 1, total).astype(jnp.float32)
-    em = jnp.where(valid, adj - tot1[:, None] * jnp.float32(rate), NEG)
-    em = em.reshape(-1, S, S, S)
-    M = jnp.max(em, axis=1)  # max over b1 -> [L, b2, b3]
+    return jnp.where(valid, adj - tot1[:, None] * jnp.float32(rate), NEG)
+
+
+def build_transition(em):
+    """Augmented transition matrices A[L, S, S] from emission scores."""
+    em3 = em.reshape(-1, S, S, S)
+    M = jnp.max(em3, axis=1)  # max over b1 -> [L, b2, b3]
     rowmax = jnp.max(M, axis=2)
     return M.at[:, :, 0].set(rowmax)
 
@@ -108,50 +127,82 @@ def _forward_states(A, s0, chunk):
     return f.reshape(*batch, L, S)
 
 
+# 6-bit kmer prefix index -> its b2 state (prefix base 0 chains from the
+# running max, which _forward_states keeps in state 0)
+def _pointers(em, rank, fprev, valid):
+    """Per-cell predecessor table + base_max_score selection.
+
+    Returns (P[L, S] int32 — predecessor base at cell c-1 given base b at
+    cell c; msel[L] int32 — base_max_score's pick at each cell, ties by min
+    score-list insertion rank = min first-observation rank per base).
+    """
+    L = em.shape[0]
+    emr = em.reshape(L, S * S, S)
+    obsr = emr > NEG * 0.5
+    pref_b2 = jnp.arange(S * S, dtype=jnp.int32) % S
+    gath = fprev[:, pref_b2]  # [L, 64]; fprev[:, 0] is the running max
+    sc = jnp.where(obsr, gath[:, :, None] + emr, NEG)
+    V = jnp.max(sc, axis=1)  # [L, S] per-base best score
+    rkr = jnp.where(obsr, rank.reshape(L, S * S, S).astype(jnp.int32),
+                    RANK_BIG)
+    # winning kmer per (cell, base): strictly-greater replacement in data
+    # order keeps the min-rank kmer among score winners (base_add_score)
+    winner = (sc == V[:, None, :]) & obsr
+    wp = jnp.argmin(jnp.where(winner, rkr, RANK_BIG), axis=1)  # prefix idx
+    wb2 = (wp % S).astype(jnp.int32)
+    Rm = jnp.min(rkr, axis=1)  # [L, S] score-list insertion rank per base
+    lane_obs = jnp.any(obsr, axis=1)
+    # base_max_score: first maximum in insertion order (lib/base.c:185-197)
+    Vmax = jnp.max(jnp.where(lane_obs, V, NEG), axis=1)
+    cand = (V == Vmax[:, None]) & lane_obs
+    msel = jnp.argmin(jnp.where(cand, Rm, RANK_BIG), axis=1).astype(jnp.int32)
+    msel_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), msel[:-1]])
+    P = jnp.where(wb2 != 0, wb2, msel_prev[:, None])
+    iota = jnp.arange(S, dtype=jnp.int32)
+    P = jnp.where(valid[:, None], P, iota[None, :])
+    return P, msel
+
+
+def _traceback(P, b_end, chunk):
+    """b_{c-1} = P[c, b_c] as a reverse scan of map compositions.
+
+    Maps {0..7}->{0..7} compose associatively; encoded as 0/NEG relation
+    matrices they compose under the same tropical product as the forward
+    scan, so the machinery is shared.
+    """
+    L = P.shape[0]
+    onehot = jax.nn.one_hot(P, S, dtype=jnp.float32)  # [L, S, S]
+    Mt = jnp.where(onehot > 0, jnp.float32(0.0), NEG)
+    Mrev = jnp.concatenate([jnp.flip(Mt[1:], axis=0), _eye()[None]], axis=0)
+    u = jnp.where(jnp.arange(S) == b_end, jnp.float32(0.0), NEG)
+    frev = _forward_states(Mrev, u, chunk)  # [L, S]; row c -> base at L-2-c
+    bvals = jnp.argmax(frev, axis=1).astype(jnp.int8)
+    return jnp.concatenate(
+        [jnp.flip(bvals[: L - 1]), b_end.astype(jnp.int8)[None]])
+
+
+def _chain_core(counts, rank, refkmer, total, valid, rate, s0, chunk):
+    em = emission(counts, refkmer, total, rate)
+    A = build_transition(em)
+    A = jnp.where(valid[:, None, None], A, _eye()[None])
+    s0 = s0.astype(jnp.float32)
+    f = _forward_states(A, s0, chunk)  # [L, S]
+    fprev = jnp.concatenate([s0[None], f[:-1]], axis=0)
+    P, msel = _pointers(em, rank, fprev, valid)
+    lastidx = jnp.maximum(jnp.sum(valid.astype(jnp.int32)) - 1, 0)
+    b_end = msel[lastidx]
+    choice = _traceback(P, b_end, chunk)
+    return choice, jnp.max(f, axis=1)
+
+
 @partial(jax.jit, static_argnames=("chunk",))
-def chain_correct_sparse(uk, cn, refkmer, total, valid, rate, s0,
-                         chunk=CHUNK):
-    """chain_correct with sparse pileup input: uk (int32 cell*K3+kmer keys),
-    cn (uint16 counts; zero-count entries are padding).  Minimizes the
-    host->device transfer (the tunnel to the chip is the bottleneck, not
-    HBM): ~6 bytes per observed (cell, kmer) instead of 2*K3 per cell."""
-    L = refkmer.shape[0]
-    dense = jnp.zeros((L * K3,), jnp.uint16).at[uk].add(cn)
-    return chain_correct(dense.reshape(L, K3), refkmer, total, valid, rate,
-                         s0, chunk=chunk)
-
-
-@partial(jax.jit, static_argnames=("L", "E", "chunk"))
-def chain_correct_packed(buf, L, E, chunk=CHUNK):
-    """chain_correct_sparse with every input packed into ONE int32 buffer —
-    the host<->device link (a tunnel here) has high per-transfer latency, so
-    six small arrays cost far more than one concatenated one.
-
-    Layout: [uk(E) | cn(E) | refkmer(L) | total(L) | valid(L) | s0mask, rate]
-    with rate bitcast into the int32 lane."""
-    uk = buf[:E]
-    cn = buf[E:2 * E].astype(jnp.uint16)
-    rk = buf[2 * E:2 * E + L]
-    total = buf[2 * E + L:2 * E + 2 * L]
-    valid = buf[2 * E + 2 * L:2 * E + 3 * L] != 0
-    s0mask = buf[2 * E + 3 * L]
-    rate = jax.lax.bitcast_convert_type(buf[2 * E + 3 * L + 1], jnp.float32)
-    s0 = jnp.where((s0mask >> jnp.arange(S)) & 1 != 0, jnp.float32(0.0), NEG)
-    # keys are unique and sorted (padding -> a trash slot at L*K3), which
-    # lets XLA lower the scatter without serializing the updates
-    dense = jnp.zeros((L * K3 + 1,), jnp.uint16).at[uk].set(
-        cn, indices_are_sorted=True, unique_indices=True)
-    choice, _ = chain_correct(dense[:L * K3].reshape(L, K3), rk, total,
-                              valid, rate, s0, chunk=chunk)
-    return choice
-
-
-@partial(jax.jit, static_argnames=("chunk",))
-def chain_correct(counts, refkmer, total, valid, rate, s0, chunk=CHUNK):
-    """Run the full chain DP.
+def chain_correct(counts, rank, refkmer, total, valid, rate, s0, chunk=CHUNK):
+    """Run the full chain DP with exact reference tie-breaking.
 
     Args:
-      counts: [L, 512] int32 pileup (L padded to a multiple of `chunk`).
+      counts: [L, 512] int pileup (L padded to a multiple of `chunk`).
+      rank:   [L, 512] uint16 per-cell first-observation rank (0xFFFF where
+              unobserved; see ops/pileup.py event_ranks).
       refkmer: [L] int32 draft 3-mer per cell.
       total:  [L] int32 cell totals.
       valid:  [L] bool — False cells get identity transitions (padding).
@@ -160,23 +211,38 @@ def chain_correct(counts, refkmer, total, valid, rate, s0, chunk=CHUNK):
               region's first cell (the reference's `temp` seed cell,
               lib/contig.c:456-464), NEG elsewhere.
 
-    Returns (choice[L] int8 compact symbol, best[L] f32 path score margin).
+    Returns (choice[L] int8 compact symbol, best[L] f32 running best score).
     """
-    A = build_transition(counts, refkmer, total, rate)
-    A = jnp.where(valid[:, None, None], A, _eye()[None])
+    return _chain_core(counts, rank, refkmer, total, valid, rate, s0, chunk)
 
-    # forward and backward (reversed transposes) share one batched scan
-    Ar = jnp.flip(jnp.swapaxes(A, 1, 2), axis=0)
-    A2 = jnp.stack([A, Ar])
-    s02 = jnp.stack([s0.astype(jnp.float32), jnp.zeros((S,), jnp.float32)])
-    f2 = _forward_states(A2, s02, chunk)
-    f, fr = f2[0], f2[1]
-    g = jnp.concatenate([jnp.flip(fr[:-1], axis=0), jnp.zeros((1, S))], axis=0)
 
-    tot = f + g
-    choice = jnp.argmax(tot[:, 1:], axis=1).astype(jnp.int8) + 1
-    best = jnp.max(tot[:, 1:], axis=1)
-    return choice, best
+@partial(jax.jit, static_argnames=("L", "E", "chunk"))
+def chain_correct_packed(buf, L, E, chunk=CHUNK):
+    """chain_correct with every input packed into ONE int32 buffer —
+    the host<->device link (a tunnel here) has high per-transfer latency, so
+    several small arrays cost far more than one concatenated one.
+
+    Layout: [uk(E) | cn(E) | rk(E) | refkmer(L) | total(L) | valid(L) |
+             s0mask, rate] with rate bitcast into the int32 lane."""
+    uk = buf[:E]
+    cn = buf[E:2 * E].astype(jnp.uint16)
+    rk = buf[2 * E:3 * E].astype(jnp.uint16)
+    rkm = buf[3 * E:3 * E + L]
+    total = buf[3 * E + L:3 * E + 2 * L]
+    valid = buf[3 * E + 2 * L:3 * E + 3 * L] != 0
+    s0mask = buf[3 * E + 3 * L]
+    rate = jax.lax.bitcast_convert_type(buf[3 * E + 3 * L + 1], jnp.float32)
+    s0 = jnp.where((s0mask >> jnp.arange(S)) & 1 != 0, jnp.float32(0.0), NEG)
+    # keys are unique and sorted (padding -> a trash slot at L*K3), which
+    # lets XLA lower the scatter without serializing the updates
+    dense = jnp.zeros((L * K3 + 1,), jnp.uint16).at[uk].set(
+        cn, indices_are_sorted=True, unique_indices=True)
+    drank = jnp.full((L * K3 + 1,), 0xFFFF, jnp.uint16).at[uk].set(
+        rk, indices_are_sorted=True, unique_indices=True)
+    choice, _ = chain_correct(dense[:L * K3].reshape(L, K3),
+                              drank[:L * K3].reshape(L, K3), rkm, total,
+                              valid, rate, s0, chunk=chunk)
+    return choice
 
 
 def pad_to_chunk(n: int, chunk: int = CHUNK) -> int:
@@ -208,12 +274,31 @@ def _pow2(n: int) -> int:
 
 
 def run_chain(counts: np.ndarray, refkmer: np.ndarray, total: np.ndarray,
-              n_dp: int, rate: float, chunk: int = CHUNK) -> np.ndarray:
-    """Host wrapper: sparsify + pad, run on device, return choices[:n_dp]."""
+              n_dp: int, rate: float, rank: np.ndarray | None = None,
+              chunk: int = CHUNK) -> np.ndarray:
+    """Host wrapper: sparsify + pad, run on device, return choices[:n_dp].
+
+    `rank` is the dense [>=n_dp, K3] first-observation table; when None the
+    counts' kmer-index order stands in (tests / callers without ranks)."""
     flat = counts[:n_dp].reshape(-1)
     nz = np.flatnonzero(flat)
-    return run_chain_sparse(nz.astype(np.int64), flat[nz], refkmer, total,
-                            n_dp, rate, chunk)
+    if rank is None:
+        rk = _index_order_ranks(nz)
+    else:
+        rk = rank[:n_dp].reshape(-1)[nz]
+    return run_chain_sparse(nz.astype(np.int64), flat[nz], rk, refkmer,
+                            total, n_dp, rate, chunk)
+
+
+def _index_order_ranks(nz: np.ndarray) -> np.ndarray:
+    """Ranks by kmer index within each cell (fallback when no observation
+    order exists, e.g. synthetic tests)."""
+    cell = nz // K3
+    first = np.concatenate([[0], np.flatnonzero(np.diff(cell)) + 1])
+    seg = np.zeros(len(nz), dtype=np.int64)
+    seg[first] = 1
+    segid = np.cumsum(seg) - 1
+    return (np.arange(len(nz)) - first[segid]).astype(np.uint16)
 
 
 def init_state_sparse(keys0: np.ndarray) -> np.ndarray:
@@ -225,24 +310,26 @@ def init_state_sparse(keys0: np.ndarray) -> np.ndarray:
 
 
 def run_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
-                     refkmer: np.ndarray, total: np.ndarray, n_dp: int,
-                     rate: float, chunk: int = CHUNK) -> np.ndarray:
+                     rk_in: np.ndarray, refkmer: np.ndarray,
+                     total: np.ndarray, n_dp: int, rate: float,
+                     chunk: int = CHUNK) -> np.ndarray:
     """Sparse-key host wrapper: uk_in = sorted cell*K3+kmer keys (any cells
-    >= n_dp are trimmed), cn_in = counts."""
-    choice = dispatch_chain_sparse(uk_in, cn_in, refkmer, total, n_dp, rate,
-                                   chunk)
+    >= n_dp are trimmed), cn_in = counts, rk_in = first-observation ranks."""
+    choice = dispatch_chain_sparse(uk_in, cn_in, rk_in, refkmer, total, n_dp,
+                                   rate, chunk)
     return np.asarray(choice)[:n_dp]
 
 
 def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
-                          refkmer: np.ndarray, total: np.ndarray, n_dp: int,
-                          rate: float, chunk: int = CHUNK):
+                          rk_in: np.ndarray, refkmer: np.ndarray,
+                          total: np.ndarray, n_dp: int, rate: float,
+                          chunk: int = CHUNK):
     """Launch the chain DP and return the device array WITHOUT fetching —
     jax dispatch is async, so the caller can overlap host work (the next
     contig's pileup) with the device scan, then np.asarray() the result."""
     L = pad_to_chunk(max(n_dp, 1), chunk)
-    rk = np.zeros(L, dtype=np.int32)
-    rk[:n_dp] = refkmer[:n_dp]
+    rkm = np.zeros(L, dtype=np.int32)
+    rkm[:n_dp] = refkmer[:n_dp]
     t = np.zeros(L, dtype=np.int32)
     t[:n_dp] = total[:n_dp]
     v = np.zeros(L, dtype=bool)
@@ -253,15 +340,17 @@ def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
     k0 = nz[: int(np.searchsorted(nz, K3))]
     s0mask = 1 | int(np.bitwise_or.reduce(
         1 << np.unique((k0 >> 3) & 7))) if len(k0) else 1
-    buf = np.zeros(2 * E + 3 * L + 2, dtype=np.int32)
+    buf = np.zeros(3 * E + 3 * L + 2, dtype=np.int32)
     buf[:E] = L * K3  # pad keys target the trash slot past the dense array
     buf[: len(nz)] = nz
     buf[E : E + len(nz)] = np.minimum(cn_in[:hi], np.iinfo(np.uint16).max)
-    buf[2 * E : 2 * E + L] = rk
-    buf[2 * E + L : 2 * E + 2 * L] = t
-    buf[2 * E + 2 * L : 2 * E + 3 * L] = v
-    buf[2 * E + 3 * L] = s0mask
-    buf[2 * E + 3 * L + 1] = np.float32(rate).view(np.int32)
+    buf[2 * E : 2 * E + len(nz)] = rk_in[:hi]
+    buf[2 * E + len(nz) : 3 * E] = 0xFFFF
+    buf[3 * E : 3 * E + L] = rkm
+    buf[3 * E + L : 3 * E + 2 * L] = t
+    buf[3 * E + 2 * L : 3 * E + 3 * L] = v
+    buf[3 * E + 3 * L] = s0mask
+    buf[3 * E + 3 * L + 1] = np.float32(rate).view(np.int32)
     return chain_correct_packed(buf, L, E, chunk=chunk)
 
 
@@ -291,96 +380,125 @@ def slow_fg(A: np.ndarray, s0: np.ndarray):
 # ---------------------------------------------------------------------------
 
 def slow_chain(counts: np.ndarray, refkmer: np.ndarray, total: np.ndarray,
-               rate: float) -> np.ndarray:
+               rate: float, rank: np.ndarray | None = None) -> np.ndarray:
     """Per-cell transcription of contig_region_score + contig_region_correct
-    (f64, python loops).  Ties: first kmer index wins, matching the fast
-    path's fixed iteration order."""
+    (f64, python loops) with the reference's exact tie rules: kmers iterate
+    in first-observation rank order, per-base entries replace on strictly
+    greater only, base_max_score keeps the first maximum in insertion order.
+    """
     L = counts.shape[0]
     NEGI = -1e18
     score = np.full((L, S), NEGI)
     bestk = np.zeros((L, S), dtype=np.int32)
+    # score-list insertion order per (cell, base) = min kmer rank
+    ins_rank = np.full((L, S), 1 << 20, dtype=np.int64)
     prev = np.full(S, NEGI)
     prev[0] = 0.0
     prev[np.flatnonzero(counts[0].reshape(S, S, S).sum(axis=(0, 2)))] = 0.0
+    prev_msel = 0
+
+    def kmer_order(c):
+        ks = np.flatnonzero(counts[c])
+        if rank is not None:
+            ks = ks[np.argsort(rank[c, ks], kind="stable")]
+        return ks
+
+    def max_sel(sc_row, ins_row):
+        """base_max_score: first max in insertion order."""
+        live = np.flatnonzero(sc_row > NEGI / 2)
+        live = live[np.argsort(ins_row[live], kind="stable")]
+        best = live[0]
+        for b in live[1:]:
+            if sc_row[b] > sc_row[best]:
+                best = b
+        return int(best)
+
     for c in range(L):
         tot = int(total[c])
         tot1 = tot - 1 if tot > 1 else tot
         cur = np.full(S, NEGI)
         curk = np.zeros(S, dtype=np.int32)
-        for k in np.flatnonzero(counts[c]):
+        cins = np.full(S, 1 << 20, dtype=np.int64)
+        for r, k in enumerate(kmer_order(c)):
             b2 = (k >> 3) & 7
             b3 = k & 7
-            base_score = np.max(prev) if b2 == 0 else prev[b2]
+            if b2 == 0:
+                base_score = prev[prev_msel] if c else 0.0
+            else:
+                base_score = prev[b2]
             if base_score <= NEGI / 2:
                 continue
             cnt = int(counts[c, k])
             if k == refkmer[c] and tot > 1:
                 cnt -= 1
             sc = base_score + cnt - tot1 * rate
+            if cins[b3] == 1 << 20:
+                cins[b3] = r
             if sc > cur[b3]:
                 cur[b3] = sc
                 curk[b3] = k
-        cur[0] = np.max(cur[1:])
         score[c] = cur
         bestk[c] = curk
+        ins_rank[c] = cins
         prev = cur
+        prev_msel = max_sel(cur, cins)
     # backtrack (contig_region_correct :473-496)
     choice = np.zeros(L, dtype=np.int8)
-    b = int(np.argmax(score[L - 1, 1:]) + 1)
+    b = max_sel(score[L - 1], ins_rank[L - 1])
     k = bestk[L - 1, b]
     for c in range(L - 1, -1, -1):
         choice[c] = k & 7
         if c:
             b2 = (k >> 3) & 7
             if b2 == 0:
-                b2 = int(np.argmax(score[c - 1, 1:]) + 1)
+                b2 = max_sel(score[c - 1], ins_rank[c - 1])
             k = bestk[c - 1, b2]
     return choice
 
 
 @partial(jax.jit, static_argnames=("chunk",))
-def chain_correct_batch(counts, refkmer, total, valid, rate, s0, chunk=CHUNK):
+def chain_correct_batch(counts, rank, refkmer, total, valid, rate, s0,
+                        chunk=CHUNK):
     """Batched chain_correct over R independent regions.
 
-    counts [R, L, K3], refkmer/total/valid [R, L], s0 [R, S]; one device
+    counts/rank [R, L, K3], refkmer/total/valid [R, L], s0 [R, S]; one device
     launch replaces per-region calls (the no-depth rescue can have hundreds
     of tiny regions)."""
-    R, L, _ = counts.shape
-    A = jax.vmap(build_transition, in_axes=(0, 0, 0, None))(
-        counts, refkmer, total, rate)
-    A = jnp.where(valid[:, :, None, None], A, _eye()[None, None])
-    Ar = jnp.flip(jnp.swapaxes(A, 2, 3), axis=1)
-    A2 = jnp.stack([A, Ar])  # [2, R, L, S, S]
-    s02 = jnp.stack([s0.astype(jnp.float32), jnp.zeros((R, S), jnp.float32)])
-    f2 = _forward_states(A2, s02, chunk)
-    f, fr = f2[0], f2[1]
-    g = jnp.concatenate(
-        [jnp.flip(fr[:, :-1], axis=1), jnp.zeros((R, 1, S))], axis=1)
-    tot = f + g
-    choice = jnp.argmax(tot[:, :, 1:], axis=2).astype(jnp.int8) + 1
+    core = partial(_chain_core, chunk=chunk)
+    choice, _ = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, None, 0))(
+        counts, rank, refkmer, total, valid, rate, s0)
     return choice
 
 
 def run_chain_batch(problems, rate, chunk=CHUNK):
     """Run many small regions in one launch.  problems = list of
-    (counts[n,K3] uint16, refkmer[n], total[n]); returns list of choice[n]."""
+    (counts[n,K3] uint16, refkmer[n], total[n], rank[n,K3] uint16);
+    returns list of choice[n]."""
     if not problems:
         return []
     R = _pow2(len(problems))
-    Lb = pad_to_chunk(max(c.shape[0] for c, _, _ in problems), chunk)
+    Lb = pad_to_chunk(max(c.shape[0] for c, *_ in problems), chunk)
     counts = np.zeros((R, Lb, K3), dtype=np.uint16)
+    ranks = np.full((R, Lb, K3), 0xFFFF, dtype=np.uint16)
     rk = np.zeros((R, Lb), dtype=np.int32)
     tt = np.zeros((R, Lb), dtype=np.int32)
     vv = np.zeros((R, Lb), dtype=bool)
     s0 = np.full((R, S), float(NEG), dtype=np.float32)
     s0[:, 0] = 0.0
-    for i, (c, r, t) in enumerate(problems):
+    for i, prob in enumerate(problems):
+        c, r, t = prob[0], prob[1], prob[2]
         n = c.shape[0]
         counts[i, :n] = c
+        if len(prob) > 3 and prob[3] is not None:
+            ranks[i, :n] = prob[3]
+        else:
+            flat = c.reshape(-1)
+            nz = np.flatnonzero(flat)
+            ranks[i, :n].reshape(-1)[nz] = _index_order_ranks(nz)
         rk[i, :n] = r[:n]
         tt[i, :n] = t[:n]
         vv[i, :n] = True
         s0[i] = init_state(c[0])
-    out = np.asarray(chain_correct_batch(counts, rk, tt, vv, float(rate),
-                                         s0, chunk=chunk))
+    out = np.asarray(chain_correct_batch(counts, ranks, rk, tt, vv,
+                                         float(rate), s0, chunk=chunk))
     return [out[i, : p[0].shape[0]] for i, p in enumerate(problems)]

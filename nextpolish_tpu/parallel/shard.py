@@ -38,16 +38,16 @@ def make_mesh(n_devices: int | None = None, reads_axis: int | None = None
     return Mesh(arr, ("reads", "windows"))
 
 
-def _window_chain(counts, refkmer, total, valid, s0, rate, chunk):
-    A = tropical.build_transition(counts, refkmer, total, rate)
-    eye = jnp.full((S, S), tropical.NEG).at[jnp.arange(S), jnp.arange(S)].set(0.0)
-    A = jnp.where(valid[:, None, None], A, eye[None])
-    f = tropical._forward_states(A, s0, chunk)
-    Ar = jnp.flip(jnp.swapaxes(A, 1, 2), axis=0)
-    fr = tropical._forward_states(Ar, jnp.zeros((S,)), chunk)
-    g = jnp.concatenate([jnp.flip(fr[:-1], axis=0), jnp.zeros((1, S))], axis=0)
-    tot = f + g
-    return jnp.argmax(tot[:, 1:], axis=1).astype(jnp.int8) + 1
+def _window_chain(counts, refkmer, total, valid, s0, rate, chunk, rank=None):
+    if rank is None:
+        # kmer-index observation order stands in when the caller has no
+        # first-observation ranks (synthetic dryrun inputs)
+        obs = counts > 0
+        rank = jnp.where(obs, jnp.cumsum(obs, axis=-1) - 1, 0xFFFF
+                         ).astype(jnp.uint16)
+    choice, _ = tropical._chain_core(counts, rank, refkmer, total, valid,
+                                     rate, s0, chunk)
+    return choice
 
 
 def make_sharded_polish_step(mesh: Mesh, rate: float = 0.5, chunk: int = 64):

@@ -312,6 +312,12 @@ def mark_duplicates(recs: list) -> list:
     """Remove PCR duplicates: proper pairs sharing (tid, fragment start/end,
     orientation) keep only the first (samtools markdup -r role,
     source/nextPolish:119-156)."""
+    # mate lookup by read name (records may include secondaries or be
+    # reordered, so positional adjacency is not reliable)
+    primary_by_name: dict = {}
+    for i, r in enumerate(recs):
+        if not (r["flag"] & (bamio.FSECONDARY | bamio.FSUPPLEMENTARY)):
+            primary_by_name.setdefault(r.get("name"), []).append(i)
     seen = set()
     drop = set()
     for i, r in enumerate(recs):
@@ -322,9 +328,8 @@ def mark_duplicates(recs: list) -> list:
         key = (r["tid"], r["pos"], r["mtid"], r["mpos"],
                r["flag"] & (bamio.FREVERSE | bamio.FMREVERSE))
         if key in seen:
-            drop.add(i)
-            mate = i + 1 if i % 2 == 0 else i - 1
-            drop.add(mate)
+            for j in primary_by_name.get(r.get("name"), (i,)):
+                drop.add(j)
         else:
             seen.add(key)
     if drop:

@@ -42,14 +42,17 @@ def merge_batches(paths: list[str]) -> AlnBatch:
     qual = cat("qual")
     tags = (np.concatenate([b.tags for b in batches])
             if all(b.tags is not None for b in batches) else None)
-    # rebase offsets
-    cigar_off, seq_off, tags_off = [], [], []
-    cbase = sbase = tbase = 0
+    # rebase offsets (qual gets its own base: seq and qual byte streams are
+    # only coincidentally the same length while seq stays 1 byte/base)
+    cigar_off, seq_off, qual_off, tags_off = [], [], [], []
+    cbase = sbase = qbase = tbase = 0
     for b in batches:
         cigar_off.append(b.cigar_off + cbase)
         seq_off.append(b.seq_off + sbase)
+        qual_off.append(b.qual_off + qbase)
         cbase += len(b.cigar)
         sbase += len(b.seq)
+        qbase += len(b.qual)
         if tags is not None:
             tags_off.append(b.tags_off + tbase)
             tbase += len(b.tags)
@@ -60,7 +63,7 @@ def merge_batches(paths: list[str]) -> AlnBatch:
         cigar=cigar, cigar_off=np.concatenate(cigar_off),
         cigar_len=cat("cigar_len"), seq=seq,
         seq_off=np.concatenate(seq_off), qual=qual,
-        qual_off=np.concatenate(seq_off), names=None,
+        qual_off=np.concatenate(qual_off), names=None,
         tags=tags, tags_off=np.concatenate(tags_off) if tags is not None else None,
         tags_len=cat("tags_len") if tags is not None else None,
         mtid=cat("mtid"), mpos=cat("mpos"),

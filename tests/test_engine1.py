@@ -101,10 +101,12 @@ def test_blocked_scan_matches_naive(seed):
 
     A = np.asarray(
         tropical.build_transition(
-            jnp.asarray(p.counts[:n].astype(np.int32)),
-            jnp.asarray(p.refkmer[:n]),
-            jnp.asarray(p.total[:n]),
-            0.5,
+            tropical.emission(
+                jnp.asarray(p.counts[:n].astype(np.int32)),
+                jnp.asarray(p.refkmer[:n]),
+                jnp.asarray(p.total[:n]),
+                0.5,
+            )
         )
     )
     s0 = tropical.init_state(p.counts[0])
@@ -113,11 +115,20 @@ def test_blocked_scan_matches_naive(seed):
     naive_arg = (f + g)[:, 1:]
 
     choice = tropical.run_chain(
-        p.counts.astype(np.int32), p.refkmer, p.total, n, 0.5, chunk=64
+        p.counts.astype(np.int32), p.refkmer, p.total, n, 0.5,
+        rank=p.rank, chunk=64
     )
-    # fast choice must be max-achieving per cell (tie-agnostic check)
+    # the traced path must equal the C-transcription oracle byte-for-byte
+    # (insertion-order tie-breaks included)
+    slow = tropical.slow_chain(p.counts[:n].astype(np.int64), p.refkmer,
+                               p.total, 0.5, rank=p.rank)
+    assert np.array_equal(choice, slow)
+    # and the path must be globally optimal: cells where the DP chains from
+    # base_max_score (read-start kmers) may legitimately sit below the
+    # per-cell f+g bound, so check the bound only where it is attained
     got = naive_arg[np.arange(n), choice - 1]
-    assert np.allclose(got, naive_best, atol=1e-3)
+    assert (got <= naive_best + 1e-3).all()
+    assert np.isclose(got[-1], naive_best[-1], atol=1e-3)
 
 
 def test_score_chain_corrects_errors():

@@ -54,10 +54,10 @@ def _upper_only(s: bytes) -> bytes:
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_score_chain_byte_parity(ref_lib, tmp_path, seed):
-    """Confident (uppercase) output must match the reference byte-for-byte;
-    low-qv-marked (lowercase) sites may resolve score ties differently —
-    the reference breaks ties by kmer insertion order, we by symbol index
-    (documented deviation)."""
+    """Full byte equality with the reference engine, including lowercase
+    low-qv tie sites: score ties resolve by per-cell kmer first-observation
+    rank, mirroring the reference's SeqList insertion order
+    (lib/base.c:159-199)."""
     from ref_parity import run_reference
 
     from nextpolish_tpu.models.score_chain import AlgoConfig, score_chain_contig
@@ -66,11 +66,23 @@ def test_score_chain_byte_parity(ref_lib, tmp_path, seed):
     true, draft, batch, fa, bam = _setup(tmp_path, rng)
     ref_out = run_reference(ref_lib, "score_chain", fa, bam)
     ours = score_chain_contig("ctg1", draft, batch, AlgoConfig())
-    ref = ref_out["ctg1"]
-    if ours == ref:
-        return
-    assert _upper_only(ours) == _upper_only(ref), "confident bases diverge"
-    assert abs(len(ours) - len(ref)) <= 8
+    assert ours == ref_out["ctg1"]
+
+
+@pytest.mark.parametrize("depth", [3, 6])
+def test_score_chain_byte_parity_low_depth(ref_lib, tmp_path, depth):
+    """Low depth maximizes score ties (the insertion-order tie-break's
+    stress case); output must still be byte-equal."""
+    from ref_parity import run_reference
+
+    from nextpolish_tpu.models.score_chain import AlgoConfig, score_chain_contig
+
+    rng = np.random.default_rng(depth)
+    true, draft, batch, fa, bam = _setup(tmp_path, rng, L=2000, n_edits=10,
+                                         depth=depth)
+    ref_out = run_reference(ref_lib, "score_chain", fa, bam)
+    ours = score_chain_contig("ctg1", draft, batch, AlgoConfig())
+    assert ours == ref_out["ctg1"]
 
 
 def test_kmer_count_byte_parity(ref_lib, tmp_path):

@@ -333,13 +333,19 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--refbuild", default="/tmp/refbuild")
     ap.add_argument("--skip-ref", action="store_true")
-    ap.add_argument("--workdir", default="/tmp/npt_accuracy")
+    ap.add_argument("--workdir", default=None,
+                    help="default: fresh per-run tempdir (concurrent runs "
+                         "must not share a workdir)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
-    wd = args.workdir
-    shutil.rmtree(wd, ignore_errors=True)
-    os.makedirs(wd)
+    if args.workdir:
+        wd = args.workdir
+        shutil.rmtree(wd, ignore_errors=True)
+        os.makedirs(wd)
+    else:
+        import tempfile
+        wd = tempfile.mkdtemp(prefix="npt_accuracy_")
     mm2 = os.path.join(args.refbuild, "util/minimap2/minimap2")
     if not os.path.exists(mm2):
         mm2 = None
