@@ -30,6 +30,26 @@ build_aligners() {
         LDFLAGS="-L$STUBLIB" samtools >/dev/null )
   fi
   echo "aligners: $DST/util/bwa/bwa $DST/util/samtools/samtools $DST/util/minimap2/minimap2"
+  build_pipeline_bits
+}
+
+build_pipeline_bits() {
+  # Everything the reference *pipeline driver* additionally needs so
+  # tools/run_reference_pipeline.py can run `nextPolish run.cfg` end to end:
+  # seq_split/seq_count, calgs.so, and the bin/ copies the driver shells out
+  # to (source/Makefile:5-21 layout).
+  if [ ! -x $DST/util/seq_split ]; then
+    make -C $DST/util seq_split seq_count >/dev/null
+  fi
+  if [ ! -f $DST/lib/calgs.so ]; then
+    make -C $DST/lib calgs.so >/dev/null
+  fi
+  mkdir -p $DST/bin
+  for b in util/seq_split util/seq_count util/bwa/bwa util/samtools/samtools \
+           util/minimap2/minimap2; do
+    cp -u $DST/$b $DST/bin/ 2>/dev/null || cp $DST/$b $DST/bin/
+  done
+  echo "pipeline bits: $DST/bin"
 }
 
 if [ -f $DST/lib/nextpolish1.so ] && [ -f $DST/lib/nextpolish2.so ]; then
