@@ -27,7 +27,7 @@ build_aligners() {
       sed -i 's/^CURSES_LIB = .*/CURSES_LIB =/' config.mk 2>/dev/null; \
       make -j8 HTSDIR=$DST/lib/htslib \
         CFLAGS="-g -Wall -O2 -fcommon -I$STUBINC" \
-        LDFLAGS="-L$STUBLIB" samtools >/dev/null )
+        LDFLAGS="-L$STUBLIB" LIBCURSES= samtools >/dev/null )
   fi
   echo "aligners: $DST/util/bwa/bwa $DST/util/samtools/samtools $DST/util/minimap2/minimap2"
   build_pipeline_bits
