@@ -1,0 +1,376 @@
+"""TPU path for the engine-2 link DP (get_cns_from_align_tags,
+lib/ctg_cns.c:1876-2144) — a fixed-shape tensor program over the MSA.
+
+Reformulation: the sparse (t_pos, delta, q_base) lattice becomes a flat
+sequence of *levels* (one level per occupied (t_pos, delta) pair, in DP
+order); every level holds exactly the 6 base cells, each with up to E
+entry slots in reference insertion order.  A `lax.scan` walks the levels:
+
+  - within a position, level d's predecessors live in level d-1 (carried
+    as `prev_level`), because a read's insertion run increments delta by
+    exactly one per column;
+  - across positions, a delta-0 level's predecessors are the *chain-end*
+    cells of the previous position — only a handful of its levels are ever
+    referenced, so their scores are staged into a small boundary ring
+    (`bnd`, [Vb, 6, E]) that rotates when a new position starts.
+
+Scores are int32 (the C uses int64; densify_window checks an upper bound
+and refuses windows that could overflow).  All tie-break inputs that the
+read-type rules need (cond1's delta tests, cond2's base identities, the
+"pp base is not a gap" upgrades) are precomputed on the host into per-entry
+flag bits, so the device step is branch-free apart from the read-type
+selection, which is unrolled over the E entry slots exactly like the C's
+insertion-order loop.  Giant insertion chains (delta in the thousands)
+need no special casing — they are just more levels.
+
+The scan emits per-level winners (best entry slot + its score per cell);
+the host maps them back onto the EdgeTable and reuses dp.traceback, so
+byte-parity with the host paths is structural.  Batched windows run the
+same scan under vmap with per-window padding.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+from .dp import COV_COEF, Consensus, traceback
+from .msa import EdgeTable, build_edges, unpack_keys
+from .tags import GAP
+
+NEG = -(2 ** 29)  # masked-out candidate score
+NEGINIT = -(2 ** 30)  # "unset" p_pp / raiser (C uses INT64_MIN)
+
+F_VALID = 1
+F_HEAD = 2
+F_COND1A = 4  # ONT: ppp_d > 1 or pp_d > 0
+F_COND2B = 8  # ONT: pp_b==GAP or pp_b==b or ppp_b==b or pp_b==ppp_b
+F_PPB_NOT_GAP = 16  # tie upgrade: entry's pp base is not a gap
+
+READ_TYPE_ID = {"ont": 0, "clr": 1, "rs": 2, "hifi": 3}
+
+# caps beyond which densify refuses (fallback to the host paths)
+MAX_E = 32
+MAX_VB = 24
+
+
+@dataclass
+class DenseWindow:
+    """Fixed-shape per-level arrays + host-only maps for traceback."""
+
+    # device inputs, shapes [Lt, 6, E] unless noted
+    link: np.ndarray  # int32
+    flags: np.ndarray  # uint8 (F_* bits)
+    pp_idx: np.ndarray  # int32 into concat(bnd_flat [Vb*6, E], prev [6, E])
+    match: np.ndarray  # uint32 bit n == pred slot n matches our ppp
+    cov: np.ndarray  # int32 [Lt] coverage at the level's position
+    is_d0: np.ndarray  # bool [Lt] level starts a new position
+    vslot: np.ndarray  # int32 [Lt] boundary ring slot (-1 = unreferenced)
+    # host-only
+    entry_id: np.ndarray  # int64 [Lt, 6, E] absolute EdgeTable index, -1 pad
+    level_pos: np.ndarray  # int32 [Lt]
+    Vb: int
+    E: int
+    edges: EdgeTable
+    length: int
+
+
+def densify_window(edges: EdgeTable, coverage: np.ndarray, length: int
+                   ) -> DenseWindow | None:
+    """EdgeTable -> DenseWindow, or None when the window exceeds the
+    device caps / int32 score range (caller falls back to host)."""
+    Tn = len(edges.tag_key)
+    if Tn == 0:
+        return None
+    tp, td, tb = unpack_keys(edges.tag_key)
+    ent_n = np.diff(edges.tag_off)
+    E = int(ent_n.max())
+    if E > MAX_E:
+        return None
+
+    # ---- levels: unique (p, d) in DP order (tag keys are sorted) -------
+    lvl_key = edges.tag_key >> 3
+    new_lvl = np.ones(Tn, dtype=bool)
+    new_lvl[1:] = lvl_key[1:] != lvl_key[:-1]
+    lvl_of_tag = np.cumsum(new_lvl) - 1
+    lstarts = np.flatnonzero(new_lvl)
+    Lt = len(lstarts)
+    level_pos = tp[lstarts].astype(np.int32)
+    level_d = td[lstarts].astype(np.int32)
+    is_d0 = level_d == 0
+
+    # int32 score-overflow guard: sum over levels of the largest positive
+    # per-entry increment bounds any chain score
+    c = 3  # smallest cov coefficient gives the largest increment bound
+    link_max = np.zeros(Lt, dtype=np.int64)
+    np.maximum.at(link_max, lvl_of_tag,
+                  np.maximum.reduceat(
+                      edges.link.astype(np.int64), edges.tag_off[:-1])
+                  if Tn else 0)
+    inc = np.maximum(10 * link_max - c * coverage[level_pos], 0)
+    if int(inc.sum()) >= 2 ** 30:
+        return None
+
+    # ---- entry slots: insertion order within each cell -----------------
+    # everything below is entry-major (flat [E_total]) with one scatter
+    # into the [Lt, 6, E] dense arrays at the end
+    Et = len(edges.cur)
+    tag_of_entry = np.repeat(np.arange(Tn, dtype=np.int64), ent_n)
+    eorder = np.lexsort((edges.ins, tag_of_entry))
+    slot_sorted = (np.arange(Et, dtype=np.int64)
+                   - np.repeat(edges.tag_off[:-1], ent_n))
+
+    lvl_e = lvl_of_tag[tag_of_entry]
+    b_e = tb[tag_of_entry].astype(np.int64)
+    link_e = edges.link[eorder].astype(np.int32)
+    pp_e = edges.pp[eorder]
+    ppp_e = edges.ppp[eorder]
+    head_e = pp_e < 0
+    ppd = np.where(head_e, 0, (pp_e >> 3) & ((1 << 17) - 1))
+    ppb = np.where(head_e, 0, pp_e & 7)
+    hppp = ppp_e < 0
+    pppd = np.where(hppp, 0, (ppp_e >> 3) & ((1 << 17) - 1))
+    pppb = np.where(hppp, 0, ppp_e & 7)
+
+    flags_e = np.full(Et, F_VALID, dtype=np.uint8)
+    flags_e |= np.where(head_e, F_HEAD, 0).astype(np.uint8)
+    flags_e |= np.where((pppd > 1) | (ppd > 0), F_COND1A, 0).astype(
+        np.uint8)
+    flags_e |= np.where((ppb == GAP) | (ppb == b_e) | (pppb == b_e)
+                        | (ppb == pppb), F_COND2B, 0).astype(np.uint8)
+    flags_e |= np.where(ppb != GAP, F_PPB_NOT_GAP, 0).astype(np.uint8)
+
+    # ---- boundary ring: levels referenced as pp by next-position d0 ----
+    # pp of a d0 entry is the read's last column at p-1 (any level there)
+    d0_e = is_d0[lvl_e]
+    lkeys = (level_pos.astype(np.int64) << 17) | level_d.astype(np.int64)
+    ref_keys = np.unique(pp_e[d0_e & ~head_e] >> 3)
+    ref_lvl = np.searchsorted(lkeys, ref_keys)
+    ok = (ref_lvl < Lt) & (lkeys[np.minimum(ref_lvl, Lt - 1)] == ref_keys)
+    ref_lvl = ref_lvl[ok]
+    # assign ring slots per position in order of appearance
+    vslot = np.full(Lt, -1, dtype=np.int32)
+    if len(ref_lvl):
+        rp = level_pos[ref_lvl]
+        firsts = np.ones(len(ref_lvl), dtype=bool)
+        firsts[1:] = rp[1:] != rp[:-1]
+        grp = np.cumsum(firsts) - 1
+        gstart = np.flatnonzero(firsts)
+        vslot[ref_lvl] = (np.arange(len(ref_lvl)) - gstart[grp]).astype(
+            np.int32)
+    Vb = int(vslot.max()) + 1 if len(ref_lvl) else 1
+    if Vb > MAX_VB:
+        return None
+    Vb = max(Vb, 1)
+
+    # ---- pp_idx: gather index into concat(bnd [Vb*6,E], prev [6,E]) ----
+    # d0 levels gather from the boundary ring slot of their pp level;
+    # d>0 levels gather from the previous level (their pp is (p, d-1))
+    pp_lvl_key = pp_e >> 3
+    pos_pp = np.minimum(np.searchsorted(lkeys, pp_lvl_key), Lt - 1)
+    pp_vs = np.maximum(
+        np.where(lkeys[pos_pp] == pp_lvl_key, vslot[pos_pp], 0), 0)
+    pp_idx_e = np.where(d0_e, pp_vs * 6 + ppb, Vb * 6 + ppb)
+    pp_idx_e = np.where(head_e, 0, pp_idx_e).astype(np.int32)
+
+    # ---- match bits: pred-cell entries whose pp equals our ppp ---------
+    # per tag: its entries' pp keys in slot order
+    tag_pp = np.full((Tn, E), -2, dtype=np.int64)
+    tag_pp[tag_of_entry, slot_sorted] = pp_e
+    # pred tag id for each entry (the cell keyed by our pp)
+    pred_tag = np.minimum(np.searchsorted(edges.tag_key, pp_e), Tn - 1)
+    pred_ok = edges.tag_key[pred_tag] == pp_e
+    m = tag_pp[pred_tag] == ppp_e[:, None]  # [Et, E]
+    m &= (pred_ok & ~head_e)[:, None]
+    weights = (1 << np.arange(E, dtype=np.uint64)).astype(np.uint64)
+    match_e = (m.astype(np.uint64) * weights[None]).sum(axis=1).astype(
+        np.uint32)
+
+    # ---- scatter the entry-major arrays into the level layout ----------
+    link = np.zeros((Lt, 6, E), dtype=np.int32)
+    flags = np.zeros((Lt, 6, E), dtype=np.uint8)
+    pp_idx = np.zeros((Lt, 6, E), dtype=np.int32)
+    match = np.zeros((Lt, 6, E), dtype=np.uint32)
+    entry_id = np.full((Lt, 6, E), -1, dtype=np.int64)
+    link[lvl_e, b_e, slot_sorted] = link_e
+    flags[lvl_e, b_e, slot_sorted] = flags_e
+    pp_idx[lvl_e, b_e, slot_sorted] = pp_idx_e
+    match[lvl_e, b_e, slot_sorted] = match_e
+    entry_id[lvl_e, b_e, slot_sorted] = eorder
+
+    return DenseWindow(
+        link=link, flags=flags, pp_idx=pp_idx, match=match,
+        cov=coverage[level_pos].astype(np.int32), is_d0=is_d0,
+        vslot=vslot, entry_id=entry_id, level_pos=level_pos,
+        Vb=Vb, E=E, edges=edges, length=length)
+
+
+def _dp_step(carry, xs, *, E, Vb, rt_id, cov_coef):
+    """One level of the link DP.  carry = (prev [6,E], bnd [Vb,6,E]);
+    xs = (link, flags, pp_idx, match, cov, is_d0, vslot, is_pad)."""
+    import jax
+    import jax.numpy as jnp
+
+    prev, bnd = carry
+    link, flags, pp_idx, match, cov, is_d0, vslot, is_pad = xs
+
+    # gather sources: the boundary ring holds the previous position's
+    # referenced levels (for d0 entries); `prev` is the previous level
+    # (for insertion-chain entries)
+    src = jnp.concatenate([bnd.reshape(Vb * 6, E), prev], axis=0)
+
+    valid = (flags & F_VALID) != 0
+    is_head = (flags & F_HEAD) != 0
+    cond1a = (flags & F_COND1A) != 0
+    cond2b = (flags & F_COND2B) != 0
+    ppb_ng = (flags & F_PPB_NOT_GAP) != 0
+
+    w = 10 * link - cov_coef * cov
+
+    # predecessor candidates: [6, E, E]
+    pred = src[pp_idx]  # [6,E,E]
+    mbits = ((match[..., None] >> jnp.arange(E, dtype=jnp.uint32)) & 1) != 0
+    cand = jnp.where(mbits, pred, NEG)
+    n_best = cand.max(axis=-1)
+    # last matching slot (highest index) — insertion order
+    slot_ids = jnp.arange(E, dtype=jnp.int32)
+    last_slot = jnp.where(mbits, slot_ids, -1).max(axis=-1)
+    n_last = jnp.take_along_axis(
+        pred, jnp.maximum(last_slot, 0)[..., None], axis=-1)[..., 0]
+    has_match = n_best > NEG // 2
+
+    sc = jnp.where(
+        is_head, w,
+        jnp.where(has_match, jnp.maximum(n_best + w, 0), 0))
+    sc = jnp.where(valid, sc, NEG)
+
+    # ---- winning-entry selection, unrolled over slots ------------------
+    bm = jnp.zeros(6, dtype=jnp.int32)
+    sc_bm = sc[:, 0]
+    link_bm = link[:, 0]
+    p_pp = jnp.full(6, NEGINIT, dtype=jnp.int32)
+    raiser = jnp.full(6, NEGINIT, dtype=jnp.int32)
+    if rt_id == 0:  # ont: tmp = max link over entries
+        tmp = jnp.where(valid, link, 0).max(axis=-1)
+    for e in range(E):
+        v = valid[:, e]
+        nh = v & ~is_head[:, e]
+        hm = nh & has_match[:, e]
+        sc_e = sc[:, e]
+        raiser = jnp.where(v & (sc_e > 0), n_best[:, e], raiser)
+        if rt_id in (1, 3):  # clr / hifi
+            upd = hm & ((n_best[:, e] > p_pp)
+                        | ((n_best[:, e] == p_pp) & ppb_ng[:, e]))
+            bm = jnp.where(upd, e, bm)
+            sc_bm = jnp.where(upd, sc_e, sc_bm)
+            link_bm = jnp.where(upd, link[:, e], link_bm)
+            p_pp = jnp.where(upd, n_best[:, e], p_pp)
+        elif rt_id == 0:  # ont
+            c1 = hm & cond1a[:, e] & (
+                (5 * link[:, e] > cov) | (link[:, e] > tmp // 2))
+            c2 = ~c1 & hm & (link[:, e] > link_bm // 2) \
+                & (n_best[:, e] > p_pp) & cond2b[:, e]
+            upd = c1 | c2
+            bm = jnp.where(upd, e, bm)
+            sc_bm = jnp.where(upd, sc_e, sc_bm)
+            link_bm = jnp.where(upd, link[:, e], link_bm)
+            p_pp = jnp.where(c1, n_last[:, e],
+                             jnp.where(c2, n_best[:, e], p_pp))
+        # common final rule
+        if rt_id == 2:  # rs
+            upd = v & (sc_e >= sc_bm)
+        else:
+            upd = v & ((sc_e > sc_bm) | ((sc_e == sc_bm) & ppb_ng[:, e]))
+        bm = jnp.where(upd, e, bm)
+        sc_bm = jnp.where(upd, sc_e, sc_bm)
+        link_bm = jnp.where(upd, link[:, e], link_bm)
+        p_pp = jnp.where(upd, raiser, p_pp)
+
+    # carry updates (skip entirely on pad levels)
+    prev_out = jnp.where(is_pad, prev, sc)
+    # write our level into the boundary ring if referenced
+    vs = jnp.maximum(vslot, 0)
+    bnd_rot = jnp.where(is_d0 & ~is_pad, jnp.full_like(bnd, NEG), bnd)
+    bnd_upd = jax.lax.dynamic_update_slice(bnd_rot, sc[None], (vs, 0, 0))
+    bnd_out = jnp.where(is_pad | (vslot < 0), bnd_rot, bnd_upd)
+    return (prev_out, bnd_out), (bm.astype(jnp.int8), sc_bm)
+
+
+def _scan_levels(link, flags, pp_idx, match, cov, is_d0, vslot, is_pad,
+                 *, E, Vb, rt_id, cov_coef):
+    import jax
+    import jax.numpy as jnp
+
+    init = (jnp.full((6, E), NEG, jnp.int32),
+            jnp.full((Vb, 6, E), NEG, jnp.int32))
+    step = partial(_dp_step, E=E, Vb=Vb, rt_id=rt_id, cov_coef=cov_coef)
+    (_, _), (best, sc_bm) = jax.lax.scan(
+        step, init, (link, flags, pp_idx, match, cov, is_d0, vslot,
+                     is_pad))
+    return best, sc_bm
+
+
+_JITTED = {}
+
+
+def _get_scan(E, Vb, rt_id, cov_coef, batched):
+    import jax
+
+    key = (E, Vb, rt_id, cov_coef, batched)
+    fn = _JITTED.get(key)
+    if fn is None:
+        f = partial(_scan_levels, E=E, Vb=Vb, rt_id=rt_id,
+                    cov_coef=cov_coef)
+        if batched:
+            f = jax.vmap(f)
+        fn = jax.jit(f)
+        _JITTED[key] = fn
+    return fn
+
+
+def device_link_dp(dw: DenseWindow, read_type: str,
+                   cov_coef: int | None = None):
+    """Run the scan for one window; returns (score_arr, best_arr) shaped
+    like dp.link_dp's outputs so dp.traceback can be reused."""
+    import jax.numpy as jnp
+
+    rt_id = READ_TYPE_ID[read_type]
+    c = COV_COEF[read_type] if cov_coef is None else cov_coef
+    fn = _get_scan(dw.E, dw.Vb, rt_id, c, batched=False)
+    Lt = len(dw.cov)
+    best, sc_bm = fn(
+        jnp.asarray(dw.link), jnp.asarray(dw.flags),
+        jnp.asarray(dw.pp_idx), jnp.asarray(dw.match),
+        jnp.asarray(dw.cov), jnp.asarray(dw.is_d0),
+        jnp.asarray(dw.vslot), jnp.zeros(Lt, dtype=bool))
+    return _to_edge_outputs(dw, np.asarray(best), np.asarray(sc_bm))
+
+
+def _to_edge_outputs(dw: DenseWindow, best: np.ndarray, sc_bm: np.ndarray):
+    """Map per-level winners back to per-tag arrays on the EdgeTable."""
+    edges = dw.edges
+    Tn = len(edges.tag_key)
+    tp, td, tb = unpack_keys(edges.tag_key)
+    lvl_key = edges.tag_key >> 3
+    new_lvl = np.ones(Tn, dtype=bool)
+    new_lvl[1:] = lvl_key[1:] != lvl_key[:-1]
+    lvl_of_tag = np.cumsum(new_lvl) - 1
+    b_of_tag = tb.astype(np.int64)
+    best_arr = dw.entry_id[lvl_of_tag, b_of_tag,
+                           best[lvl_of_tag, b_of_tag].astype(np.int64)]
+    score_arr = np.full(len(edges.cur), NEG, dtype=np.int64)
+    score_arr[best_arr] = sc_bm[lvl_of_tag, b_of_tag]
+    return score_arr, best_arr
+
+
+def cns_dp_device(merged, coverage, length, read_type, min_cov, lq_min_qv):
+    """Device counterpart of native.cns_dp: TagColumns -> Consensus, or
+    None when the window exceeds the device caps."""
+    edges = build_edges(merged)
+    dw = densify_window(edges, coverage, length)
+    if dw is None:
+        return None
+    score, best = device_link_dp(dw, read_type)
+    return traceback(edges, score, best, coverage, length, read_type,
+                     min_cov, lq_min_qv=lq_min_qv)

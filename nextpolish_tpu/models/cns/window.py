@@ -13,6 +13,7 @@ contig size (ctg_cns_core :3487-3514).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -186,14 +187,22 @@ def window_consensus(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
     l_ins, l_del = accum.l_ins, accum.l_del
     # HIFI's _lq flow marks low-qv with DAG_MIN_QV=80 (:1794-1798)
     lq_min_qv = 80 if read_type == "hifi" else 20
-    from ...native import cns_dp as native_cns_dp
+    cns = None
+    eng = os.environ.get("NPT_CNS_ENGINE", "native")
+    if eng == "device":
+        from .device_dp import cns_dp_device
 
-    nat = native_cns_dp(merged.t_pos, merged.delta, merged.q_base,
-                        merged.row_off, coverage, L, read_type, min_cov,
-                        lq_min_qv)
-    if nat is not None:
-        cns = Consensus(nat[0], nat[1], nat[2])
-    else:
+        cns = cns_dp_device(merged, coverage, L, read_type, min_cov,
+                            lq_min_qv)
+    if cns is None and eng != "numpy":
+        from ...native import cns_dp as native_cns_dp
+
+        nat = native_cns_dp(merged.t_pos, merged.delta, merged.q_base,
+                            merged.row_off, coverage, L, read_type, min_cov,
+                            lq_min_qv)
+        if nat is not None:
+            cns = Consensus(nat[0], nat[1], nat[2])
+    if cns is None:
         edges = build_edges(merged)
         score, best = link_dp(edges, coverage, read_type)
         cns = traceback(edges, score, best, coverage, L, read_type, min_cov,
