@@ -50,8 +50,9 @@ F_PPB_NOT_GAP = 16  # tie upgrade: entry's pp base is not a gap
 
 READ_TYPE_ID = {"ont": 0, "clr": 1, "rs": 2, "hifi": 3}
 
-# caps beyond which densify refuses (fallback to the host paths)
-MAX_E = 32
+# caps beyond which densify refuses (fallback to the host paths):
+# match bits live in an int32 word, the ring slot in a 6-bit meta field
+MAX_E = 24
 MAX_VB = 24
 
 
@@ -110,6 +111,8 @@ def densify_window(edges: EdgeTable, coverage: np.ndarray, length: int
                   if Tn else 0)
     inc = np.maximum(10 * link_max - c * coverage[level_pos], 0)
     if int(inc.sum()) >= 2 ** 30:
+        return None
+    if int(link_max.max()) >= 2 ** 15:  # link packs into 16 bits of A
         return None
 
     # ---- entry slots: insertion order within each cell -----------------
@@ -206,19 +209,39 @@ def densify_window(edges: EdgeTable, coverage: np.ndarray, length: int
         Vb=Vb, E=E, edges=edges, length=length)
 
 
-def _dp_step(carry, xs, *, E, Vb, rt_id, cov_coef):
-    """One level of the link DP.  carry = (prev [6,E], bnd [Vb,6,E]);
-    xs = (link, flags, pp_idx, match, cov, is_d0, vslot, is_pad)."""
+
+# ---------------------------------------------------------------------------
+# device scan
+# ---------------------------------------------------------------------------
+#
+# Packed level layout (TPU-friendly: trailing dims pad to (8, 128) tiles, so
+# slots are flattened to 6*E lanes and fields are packed into int32 words):
+#   A[l, c*E+e] = (link << 16) | (pp_idx << 8) | flags
+#   M[l, c*E+e] = match bits (bit n set: pred slot n matches our ppp)
+#   meta[l]     = (cov << 8) | ((vslot + 1) << 2) | (is_d0 << 1) | is_pad
+# The scan walks T levels per step (chunking amortizes per-step overhead).
+
+import os as _os
+
+LEVELS_PER_STEP = int(_os.environ.get("NPT_DP_LEVELS_PER_STEP", "8"))
+_LC_BUCKET = 512
+
+
+def _dp_level(carry, A, M, meta, *, E, Vb, rt_id, cov_coef):
+    """One level.  carry = (prev [6,E], bnd [Vb*6,E]); returns ys
+    (best [6] int8, sc_bm [6] int32)."""
     import jax
     import jax.numpy as jnp
 
     prev, bnd = carry
-    link, flags, pp_idx, match, cov, is_d0, vslot, is_pad = xs
-
-    # gather sources: the boundary ring holds the previous position's
-    # referenced levels (for d0 entries); `prev` is the previous level
-    # (for insertion-chain entries)
-    src = jnp.concatenate([bnd.reshape(Vb * 6, E), prev], axis=0)
+    link = (A >> 16).reshape(6, E)
+    pp_idx = ((A >> 8) & 0xFF).reshape(6, E)
+    flags = (A & 0xFF).reshape(6, E)
+    match = M.reshape(6, E)
+    cov = meta >> 8
+    vslot = ((meta >> 2) & 0x3F) - 1
+    is_d0 = ((meta >> 1) & 1) != 0
+    is_pad = (meta & 1) != 0
 
     valid = (flags & F_VALID) != 0
     is_head = (flags & F_HEAD) != 0
@@ -228,9 +251,10 @@ def _dp_step(carry, xs, *, E, Vb, rt_id, cov_coef):
 
     w = 10 * link - cov_coef * cov
 
-    # predecessor candidates: [6, E, E]
+    # gather sources: boundary ring (d0 entries) ++ previous level (chains)
+    src = jnp.concatenate([bnd, prev], axis=0)
     pred = src[pp_idx]  # [6,E,E]
-    mbits = ((match[..., None] >> jnp.arange(E, dtype=jnp.uint32)) & 1) != 0
+    mbits = ((match[..., None] >> jnp.arange(E, dtype=jnp.int32)) & 1) != 0
     cand = jnp.where(mbits, pred, NEG)
     n_best = cand.max(axis=-1)
     # last matching slot (highest index) — insertion order
@@ -255,8 +279,7 @@ def _dp_step(carry, xs, *, E, Vb, rt_id, cov_coef):
         tmp = jnp.where(valid, link, 0).max(axis=-1)
     for e in range(E):
         v = valid[:, e]
-        nh = v & ~is_head[:, e]
-        hm = nh & has_match[:, e]
+        hm = v & ~is_head[:, e] & has_match[:, e]
         sc_e = sc[:, e]
         raiser = jnp.where(v & (sc_e > 0), n_best[:, e], raiser)
         if rt_id in (1, 3):  # clr / hifi
@@ -287,64 +310,131 @@ def _dp_step(carry, xs, *, E, Vb, rt_id, cov_coef):
         link_bm = jnp.where(upd, link[:, e], link_bm)
         p_pp = jnp.where(upd, raiser, p_pp)
 
-    # carry updates (skip entirely on pad levels)
+    # carry updates (pad levels leave everything untouched)
     prev_out = jnp.where(is_pad, prev, sc)
-    # write our level into the boundary ring if referenced
     vs = jnp.maximum(vslot, 0)
     bnd_rot = jnp.where(is_d0 & ~is_pad, jnp.full_like(bnd, NEG), bnd)
-    bnd_upd = jax.lax.dynamic_update_slice(bnd_rot, sc[None], (vs, 0, 0))
+    bnd_upd = jax.lax.dynamic_update_slice(bnd_rot, sc, (vs * 6, 0))
     bnd_out = jnp.where(is_pad | (vslot < 0), bnd_rot, bnd_upd)
     return (prev_out, bnd_out), (bm.astype(jnp.int8), sc_bm)
 
 
-def _scan_levels(link, flags, pp_idx, match, cov, is_d0, vslot, is_pad,
-                 *, E, Vb, rt_id, cov_coef):
+def _scan_packed(A, M, meta, *, E, Vb, rt_id, cov_coef):
+    """A/M: [Lc, T, 6E]; meta: [Lc, T] — one window."""
     import jax
     import jax.numpy as jnp
 
+    T = A.shape[1]
+
+    def step(carry, xs):
+        Ac, Mc, mc = xs
+        ys = []
+        for t in range(T):
+            carry, y = _dp_level(carry, Ac[t], Mc[t], mc[t], E=E, Vb=Vb,
+                                 rt_id=rt_id, cov_coef=cov_coef)
+            ys.append(y)
+        best = jnp.stack([y[0] for y in ys])
+        sc = jnp.stack([y[1] for y in ys])
+        return carry, (best, sc)
+
     init = (jnp.full((6, E), NEG, jnp.int32),
-            jnp.full((Vb, 6, E), NEG, jnp.int32))
-    step = partial(_dp_step, E=E, Vb=Vb, rt_id=rt_id, cov_coef=cov_coef)
-    (_, _), (best, sc_bm) = jax.lax.scan(
-        step, init, (link, flags, pp_idx, match, cov, is_d0, vslot,
-                     is_pad))
-    return best, sc_bm
+            jnp.full((Vb * 6, E), NEG, jnp.int32))
+    _, (best, sc_bm) = jax.lax.scan(step, init, (A, M, meta))
+    return (best.reshape(-1, 6), sc_bm.reshape(-1, 6))
 
 
 _JITTED = {}
 
 
-def _get_scan(E, Vb, rt_id, cov_coef, batched):
+def _get_scan(E, Vb, rt_id, cov_coef):
     import jax
 
-    key = (E, Vb, rt_id, cov_coef, batched)
+    key = (E, Vb, rt_id, cov_coef)
     fn = _JITTED.get(key)
     if fn is None:
-        f = partial(_scan_levels, E=E, Vb=Vb, rt_id=rt_id,
+        f = partial(_scan_packed, E=E, Vb=Vb, rt_id=rt_id,
                     cov_coef=cov_coef)
-        if batched:
-            f = jax.vmap(f)
-        fn = jax.jit(f)
+        # batch axis leads: [B, Lc, T, 6E] — keeps the per-step xs slices
+        # (T, 6E) in the tiled trailing dims with no layout copies
+        fn = jax.jit(jax.vmap(f, in_axes=(0, 0, 0), out_axes=0))
         _JITTED[key] = fn
     return fn
 
 
-def device_link_dp(dw: DenseWindow, read_type: str,
-                   cov_coef: int | None = None):
-    """Run the scan for one window; returns (score_arr, best_arr) shaped
-    like dp.link_dp's outputs so dp.traceback can be reused."""
-    import jax.numpy as jnp
+def _pack_window(dw: DenseWindow, E: int, Vb: int):
+    """DenseWindow -> packed (A [Lt,6E], M [Lt,6E], meta [Lt]) at the
+    batch's (E, Vb) caps (>= the window's own)."""
+    Lt, _, Ew = dw.link.shape
+    A = ((dw.link.astype(np.int32) << 16)
+         | (dw.pp_idx.astype(np.int32) << 8)
+         | dw.flags.astype(np.int32))
+    M = dw.match.astype(np.int64).astype(np.int32)
+    if Vb != dw.Vb:
+        # re-base same-position pred indices past the wider boundary ring
+        same = dw.pp_idx >= dw.Vb * 6
+        A += np.where(same, (Vb - dw.Vb) * 6, 0).astype(np.int32) << 8
+    if Ew != E:
+        pad = ((0, 0), (0, 0), (0, E - Ew))
+        A = np.pad(A, pad)
+        M = np.pad(M, pad)
+    meta = ((dw.cov.astype(np.int32) << 8)
+            | ((dw.vslot + 1).astype(np.int32) << 2)
+            | (dw.is_d0.astype(np.int32) << 1))
+    return A.reshape(Lt, 6 * E), M.reshape(Lt, 6 * E), meta
+
+
+def _run_batch(dws, read_type, cov_coef=None, mesh=None):
+    """Run the scan over a batch of DenseWindows; returns per-window
+    (best [Lt,6], sc_bm [Lt,6]) numpy arrays.  With `mesh`, the batch
+    axis is sharded over every mesh axis (window data parallelism — the
+    TPU analog of blc_genome's contig blocks)."""
+    import jax
 
     rt_id = READ_TYPE_ID[read_type]
     c = COV_COEF[read_type] if cov_coef is None else cov_coef
-    fn = _get_scan(dw.E, dw.Vb, rt_id, c, batched=False)
-    Lt = len(dw.cov)
-    best, sc_bm = fn(
-        jnp.asarray(dw.link), jnp.asarray(dw.flags),
-        jnp.asarray(dw.pp_idx), jnp.asarray(dw.match),
-        jnp.asarray(dw.cov), jnp.asarray(dw.is_d0),
-        jnp.asarray(dw.vslot), jnp.zeros(Lt, dtype=bool))
-    return _to_edge_outputs(dw, np.asarray(best), np.asarray(sc_bm))
+    E = max(dw.E for dw in dws)
+    Vb = max(dw.Vb for dw in dws)
+    T = LEVELS_PER_STEP
+    n_real = len(dws)
+    if mesh is not None:
+        nd = int(np.prod(list(mesh.shape.values())))
+        while len(dws) % nd:
+            dws = dws + [dws[-1]]
+    Lts = [len(dw.cov) for dw in dws]
+    Lc = -(-max(Lts) // T)
+    Lc = -(-Lc // _LC_BUCKET) * _LC_BUCKET
+    B = len(dws)
+    A = np.zeros((B, Lc * T, 6 * E), dtype=np.int32)
+    M = np.zeros((B, Lc * T, 6 * E), dtype=np.int32)
+    meta = np.ones((B, Lc * T), dtype=np.int32)  # pad bit set
+    packed = {}
+    for i, dw in enumerate(dws):
+        if id(dw) not in packed:
+            packed[id(dw)] = _pack_window(dw, E, Vb)
+        a, m, mt = packed[id(dw)]
+        A[i, :Lts[i]] = a
+        M[i, :Lts[i]] = m
+        meta[i, :Lts[i]] = mt
+    fn = _get_scan(E, Vb, rt_id, c)
+    args = (A.reshape(B, Lc, T, 6 * E), M.reshape(B, Lc, T, 6 * E),
+            meta.reshape(B, Lc, T))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(mesh.axis_names))
+        args = tuple(jax.device_put(x, sh) for x in args)
+    best, sc_bm = fn(*args)
+    best = np.asarray(best)
+    sc_bm = np.asarray(sc_bm)
+    return [(best[i, :Lts[i]], sc_bm[i, :Lts[i]]) for i in range(n_real)]
+
+
+def device_link_dp(dw: DenseWindow, read_type: str,
+                   cov_coef: int | None = None):
+    """Single-window scan; returns (score_arr, best_arr) shaped like
+    dp.link_dp's outputs so dp.traceback can be reused."""
+    (out,) = _run_batch([dw], read_type, cov_coef)
+    return _to_edge_outputs(dw, out[0], out[1])
 
 
 def _to_edge_outputs(dw: DenseWindow, best: np.ndarray, sc_bm: np.ndarray):
@@ -374,3 +464,27 @@ def cns_dp_device(merged, coverage, length, read_type, min_cov, lq_min_qv):
     score, best = device_link_dp(dw, read_type)
     return traceback(edges, score, best, coverage, length, read_type,
                      min_cov, lq_min_qv=lq_min_qv)
+
+
+def cns_dp_device_batch(items, read_type, min_cov, lq_min_qv):
+    """Batched windows -> [Consensus | None]; items are
+    (merged_TagColumns, coverage, length) triples.  Windows that exceed
+    the device caps come back as None (caller falls back per window)."""
+    denses = []
+    metas = []
+    for merged, coverage, length in items:
+        edges = build_edges(merged)
+        dw = densify_window(edges, coverage, length)
+        denses.append(dw)
+        metas.append((edges, coverage, length))
+    todo = [i for i, dw in enumerate(denses) if dw is not None]
+    out = [None] * len(denses)
+    if todo:
+        results = _run_batch([denses[i] for i in todo], read_type)
+        for i, (best, sc_bm) in zip(todo, results):
+            dw = denses[i]
+            edges, coverage, length = metas[i]
+            score, barr = _to_edge_outputs(dw, best, sc_bm)
+            out[i] = traceback(edges, score, barr, coverage, length,
+                               read_type, min_cov, lq_min_qv=lq_min_qv)
+    return out

@@ -321,7 +321,12 @@ def consensus_for_contig(batch: AlnBatch, tid: int, contig: bytes,
                          contig_name: str = "", qv_desc: str | None = None
                          ) -> list[bytes]:
     """Whole-contig consensus: window loop + stitch (ctg_cns_core).
-    Returns the list of output sequences (>1 only when split=1 fires)."""
+    Returns the list of output sequences (>1 only when split=1 fires).
+
+    `batch` may also be a region fetcher (anything with
+    .fetch(tid, start, end) -> AlnBatch, e.g. io.bamregion.RegionFetcher):
+    each window then reads only its own BAM region — the out-of-core
+    analog of bam_merge_iter_init per window (lib/ctg_cns.c:3474)."""
     contig_ascii = np.frombuffer(contig.upper(), dtype=np.uint8)
     length = len(contig)
     b = cal_win_len(window, overlap, length)
@@ -333,12 +338,19 @@ def consensus_for_contig(batch: AlnBatch, tid: int, contig: bytes,
     )
     if struct_ctx.brk_g:
         struct_ctx.ref_ide = st.cal_ref_ide(qv)
+    fetcher = batch if hasattr(batch, "fetch") else None
     parts = []
     s = 0
     e = 0
     while e < length:
         e = min(s + b, length)
-        cns = window_consensus(batch, tid, contig_ascii, s, e, read_type,
+        if fetcher is not None:
+            lim = (max(e, st.INS_RADOM_LEN)
+                   if (s == 0 and struct_ctx.brk_g) else e)
+            wbatch = fetcher.fetch(tid, s, max(lim - 1, s))
+        else:
+            wbatch = batch
+        cns = window_consensus(wbatch, tid, contig_ascii, s, e, read_type,
                                min_cov, repair, struct_ctx, contig_name)
         parts.append((s, cns))
         s = e - overlap

@@ -242,17 +242,30 @@ def score_chain_contig(name: str, draft: bytes, batch: AlnBatch,
         score_chain_contig_begin(name, draft, batch, cfg))
 
 
-def score_chain_pipeline(names_seqs, batch: AlnBatch, cfg: AlgoConfig):
+def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
     """Depth-2 software pipeline over contigs: the device chain scan of
     contig i runs while the host builds contig i+1's pileup (the TPU
     analog of the reference's multiprocessing Pool over contigs,
-    lib/nextpolish1.py:223-224).  Yields (name, polished bytes) in order."""
+    lib/nextpolish1.py:223-224).  Yields (name, polished bytes) in order.
+
+    `batch` may be a region source (anything with .fetch / .header, e.g.
+    io.bamregion.IndexedBam): each contig's reads are then fetched on
+    demand, so peak RAM is one contig, not the whole BAM."""
+    streaming = hasattr(batch, "fetch")
     levels = None
     prev = None
     for name, seq in names_seqs:
-        if levels is None:
-            levels = pl.filter_sgs_chain(batch)
-        h = score_chain_contig_begin(name, seq, batch, cfg, levels=levels)
+        if streaming:
+            tid = batch.header.name2id(name)
+            cbatch = batch.fetch(tid, 0, max(len(seq) - 1, 0))
+            clevels = pl.filter_sgs_chain(cbatch)
+        else:
+            cbatch = batch
+            if levels is None:
+                levels = pl.filter_sgs_chain(batch)
+            clevels = levels
+        h = score_chain_contig_begin(name, seq, cbatch, cfg,
+                                     levels=clevels)
         if prev is not None:
             yield prev[0], score_chain_contig_end(prev[1])
         prev = (name, h)

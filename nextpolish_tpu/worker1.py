@@ -97,16 +97,31 @@ def main(argv=None):
     if args.debug:
         cfg.trace_sink = []
     genome = FastaIndex(args.genome)
+
+    def open_contig_source(path):
+        """Per-contig streaming when a .bai exists: peak RAM is one
+        contig's reads, not the whole BAM (htslib bam_itr_queryi role,
+        lib/contig.c:1010-1043)."""
+        import os as _os
+
+        if path and _os.path.exists(path + ".bai"):
+            from .io.bamregion import IndexedBam
+
+            return IndexedBam(path)
+        return read_bam(path) if path else None
+
     if args.task == 5:
         # legacy lgspolish: only the long-read BAM is required
-        lgs = read_bam(args.bam_lgs or args.bam_sgs)
+        lgs = open_contig_source(args.bam_lgs or args.bam_sgs)
         sgs = None
     else:
         if not args.bam_sgs:
             log.critical("-s/--bam_sgs is required for tasks 1-4")
-        sgs = read_bam(args.bam_sgs)
-        cfg.read_tlen = estimate_read_tlen(sgs, cfg)
-        lgs = read_bam(args.bam_lgs) if args.bam_lgs else None
+        sgs = open_contig_source(args.bam_sgs)
+        head = (sgs.fetch_head(10_000) if hasattr(sgs, "fetch_head")
+                else sgs)
+        cfg.read_tlen = estimate_read_tlen(head, cfg)
+        lgs = open_contig_source(args.bam_lgs) if args.bam_lgs else None
 
     engine = None
     if args.task == 1:

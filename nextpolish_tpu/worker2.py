@@ -26,50 +26,21 @@ log = plog()
 
 
 def merge_batches(paths: list[str]) -> AlnBatch:
-    """In-memory k-way merge of sorted BAMs (bam_merge_iter role,
-    lib/bsort.c:1202-1463): concatenate and re-sort by (tid, pos)."""
-    batches = [read_bam(p) for p in paths]
-    if len(batches) == 1:
-        return batches[0]
-    base = batches[0]
-    import numpy as np
+    """In-memory k-way merge of sorted BAMs in the reference heap's
+    emission order (bam_merge_iter role, lib/bsort.c:1202-1463)."""
+    from .io.bamregion import merge_region_batches
 
-    def cat(field):
-        return np.concatenate([getattr(b, field) for b in batches])
+    return merge_region_batches([read_bam(p) for p in paths])
 
-    cigar = cat("cigar")
-    seq = cat("seq")
-    qual = cat("qual")
-    tags = (np.concatenate([b.tags for b in batches])
-            if all(b.tags is not None for b in batches) else None)
-    # rebase offsets (qual gets its own base: seq and qual byte streams are
-    # only coincidentally the same length while seq stays 1 byte/base)
-    cigar_off, seq_off, qual_off, tags_off = [], [], [], []
-    cbase = sbase = qbase = tbase = 0
-    for b in batches:
-        cigar_off.append(b.cigar_off + cbase)
-        seq_off.append(b.seq_off + sbase)
-        qual_off.append(b.qual_off + qbase)
-        cbase += len(b.cigar)
-        sbase += len(b.seq)
-        qbase += len(b.qual)
-        if tags is not None:
-            tags_off.append(b.tags_off + tbase)
-            tbase += len(b.tags)
-    merged = AlnBatch(
-        header=base.header,
-        tid=cat("tid"), pos=cat("pos"), mapq=cat("mapq"), flag=cat("flag"),
-        tlen=cat("tlen"), lqseq=cat("lqseq"),
-        cigar=cigar, cigar_off=np.concatenate(cigar_off),
-        cigar_len=cat("cigar_len"), seq=seq,
-        seq_off=np.concatenate(seq_off), qual=qual,
-        qual_off=np.concatenate(qual_off), names=None,
-        tags=tags, tags_off=np.concatenate(tags_off) if tags is not None else None,
-        tags_len=cat("tags_len") if tags is not None else None,
-        mtid=cat("mtid"), mpos=cat("mpos"),
-    )
-    order = np.lexsort((merged.pos, merged.tid))
-    return merged.select(order)
+
+def open_bam_source(paths: list[str]):
+    """Streaming region fetcher when every BAM has a .bai; otherwise the
+    whole-file in-memory merge (bounded-RAM data plane, SURVEY §7)."""
+    if all(os.path.exists(p + ".bai") for p in paths):
+        from .io.bamregion import RegionFetcher
+
+        return RegionFetcher(paths)
+    return merge_batches(paths)
 
 
 def main(argv=None):
@@ -103,7 +74,7 @@ def main(argv=None):
             if line:
                 paths.append(line if line.startswith("/")
                              else os.path.join(d, line))
-    batch = merge_batches(paths)
+    batch = open_bam_source(paths)
     genome = FastaIndex(args.genome)
     window = max(parse_num_unit(args.window), 4_000_001)
 
