@@ -485,3 +485,37 @@ def test_debug_trace_parity(ref_lib, tmp_path):
         f"ref-only={ref_set - set(my_pts)}"
     )
     assert len(my_pts) > 0  # the planted edits must show up
+
+
+def test_ctg_cns_multi_bam_merge_parity(ref2_lib, tmp_path):
+    """>=2 sorted BAMs through our streaming heap-order merge vs the
+    reference's bam_merge_iter (lib/bsort.c:1202-1463): consensus must be
+    byte-identical — merge emission order fixes read order and hence the
+    MSA insertion order the tie rules depend on."""
+    from ref_parity import batch_to_bam, write_fai
+    from ref_parity2 import run_reference_cns
+
+    from util_sim import make_draft, rand_seq, records_to_batch, simulate_reads
+
+    from nextpolish_tpu.io.bamregion import RegionFetcher
+    from nextpolish_tpu.models.ctg_cns import ctg_cns_contig
+
+    rng = np.random.default_rng(8)
+    true = rand_seq(rng, 6000)
+    draft, ops = make_draft(rng, true, n_edits=10)
+    recs = simulate_reads(rng, true, ops, read_len=1800, step=131,
+                          err_rate=0.04)
+    batch = records_to_batch(recs, len(draft))
+    fa = tmp_path / "genome.fa"
+    fa.write_bytes(b">ctg1\n" + draft + b"\n")
+    write_fai(str(fa))
+    b1 = tmp_path / "l1.sort.bam"
+    b2 = tmp_path / "l2.sort.bam"
+    batch_to_bam(batch.select(np.arange(0, len(batch), 2)), str(b1))
+    batch_to_bam(batch.select(np.arange(1, len(batch), 2)), str(b2))
+    ref_out = run_reference_cns(ref2_lib, str(fa), [str(b1), str(b2)],
+                                "ont")
+    fetcher = RegionFetcher([str(b1), str(b2)])
+    ours = ctg_cns_contig("ctg1", draft, fetcher, "ont")[0][1]
+    fetcher.close()
+    assert ours == ref_out["ctg1"][0]

@@ -61,10 +61,11 @@ def load_ref2(path=None):
     return lib
 
 
-def run_reference_cns(lib, genome_fa: str, bam_path: str, read_type: str):
-    bam_list = bam_path + ".list"
+def run_reference_cns(lib, genome_fa: str, bam_path, read_type: str):
+    paths = [bam_path] if isinstance(bam_path, str) else list(bam_path)
+    bam_list = paths[0] + ".list"
     with open(bam_list, "w") as fh:
-        fh.write(bam_path + "\n")
+        fh.write("\n".join(paths) + "\n")
     refs = lib.read_ref(genome_fa.encode(), None, 0)
     cfg = lib.ctg_cns_init(5_000_000, READS_TYPE[read_type], 0,
                            0.8, 0.8, 0.8)
