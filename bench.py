@@ -248,9 +248,23 @@ def measure_ref_task5(names, drafts, batch, workdir) -> float | None:
 
 # ---------------------------------------------------------------------------
 
+def _enable_jax_cache():
+    """Persistent XLA compilation cache: first-compile times on the
+    tunneled TPU backend run minutes, so cache executables across
+    processes (warm runs + the driver's bench both hit it)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/npt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
 def main():
     import tempfile
 
+    _enable_jax_cache()
     rng = np.random.default_rng(0)
     have_ref = ensure_refbuild()
     tmp = tempfile.mkdtemp(prefix="npt_bench_")

@@ -62,6 +62,9 @@ class GenomeIndex:
         tid = np.searchsorted(self.starts, gpos, side="right") - 1
         return tid.astype(np.int32), gpos - self.starts[tid]
 
+    def contig_to_global(self, tid: int, pos: int) -> int:
+        return int(self.starts[tid]) + int(pos)
+
     def lookup(self, query_hashes: np.ndarray):
         """For each query hash: (lo, hi) slice into positions/strands."""
         lo = np.searchsorted(self.hashes, query_hashes, side="left")

@@ -206,12 +206,16 @@ def seed_votes_batch(idx: GenomeIndex, codes_mat: np.ndarray,
 def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
                     quals: list | None = None, paired: bool = False,
                     band: int = 32, min_score: int = 30,
-                    batch_size: int = 8192):
+                    batch_size: int = 8192, seed_subsample: int = 1,
+                    rescue_window: int = 1000):
     """Map reads; returns a list of BAM-style record dicts (sorted later).
 
     seqs: list of bytes (read sequences).  With paired=True, consecutive
-    reads are mates (interleaved -p convention).
-    """
+    reads are mates (interleaved -p convention).  Seeding hashes every
+    query k-mer by default (bwa-level sensitivity); seed_subsample > 1
+    trades sensitivity for speed.  Unplaced mates of confidently-placed
+    reads get a banded-alignment rescue in the expected insert window
+    (bwa mem's mem_matesw role, util/bwa/bwamem_pair.c)."""
     n = len(seqs)
     codes_fwd = [seq_codes(s) for s in seqs]
     R0 = max((len(s) for s in seqs), default=0)
@@ -220,7 +224,7 @@ def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
     for i, cseq in enumerate(codes_fwd):
         mat[i, : cseq.size] = cseq
         lens[i] = cseq.size
-    votes = seed_votes_batch(idx, mat, lens)
+    votes = seed_votes_batch(idx, mat, lens, subsample=seed_subsample)
     placements = [tuple(votes[i]) for i in range(n)]
 
     records = [None] * n
@@ -281,7 +285,74 @@ def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
                 cigar=cig,
                 score=int(score[b]),
             )
+    if paired:
+        _mate_rescue(records, idx, codes_fwd, min_score, rescue_window,
+                     batch_size)
     return _finalize(records, idx, seqs, names, quals, paired)
+
+
+def _mate_rescue(records, idx: GenomeIndex, codes_fwd, min_score: int,
+                 window: int, batch_size: int):
+    """Place unmapped mates of confidently-mapped reads by banded
+    alignment inside the expected insert window (FR orientation)."""
+    n = len(records)
+    todo = []
+    for i in range(n):
+        if records[i] is not None:
+            continue
+        mate = i + 1 if i % 2 == 0 else i - 1
+        if not (0 <= mate < n):
+            continue
+        m = records[mate]
+        if m is None or m["mapq"] < 20:
+            continue
+        todo.append((i, m))
+    if not todo:
+        return
+    R = max(codes_fwd[i].size for i, _ in todo)
+    W = window + 2 * R
+    for lo in range(0, len(todo), batch_size):
+        sub = todo[lo : lo + batch_size]
+        Bt = len(sub)
+        q = np.full((Bt, R), 4, dtype=np.uint8)
+        t = np.full((Bt, W), 4, dtype=np.uint8)
+        qlen = np.zeros(Bt, dtype=np.int32)
+        tlen = np.full(Bt, W, dtype=np.int32)
+        tstart = np.zeros(Bt, dtype=np.int64)
+        strands = np.zeros(Bt, dtype=np.uint8)
+        for b, (i, m) in enumerate(sub):
+            mstart = idx.contig_to_global(m["ref_id"], m["pos"])
+            if m["strand"] == 0:
+                # mate forward: rescued read lies downstream, reversed
+                ts = mstart
+                strands[b] = 1
+            else:
+                ts = mstart + codes_fwd[i ^ 1].size - W
+                strands[b] = 0
+            c = (codes_fwd[i] if strands[b] == 0
+                 else _revcomp_codes(codes_fwd[i]))
+            q[b, : c.size] = c
+            qlen[b] = c.size
+            tstart[b] = ts
+            lo_c, hi_c = max(ts, 0), min(ts + W, idx.codes.size)
+            if hi_c > lo_c:
+                t[b, lo_c - ts : hi_c - ts] = idx.codes[lo_c:hi_c]
+        ops, score, i_lo, j_lo, i_hi, j_hi, _ = band_align_ops(
+            q, t, qlen, tlen)
+        tid_b, pos_b = idx.global_to_contig(tstart + j_lo)
+        tid2_b, _ = idx.global_to_contig(tstart + j_hi)
+        for b, (i, m) in enumerate(sub):
+            if score[b] < min_score or tid_b[b] != m["ref_id"] \
+                    or tid_b[b] != tid2_b[b] or pos_b[b] < 0:
+                continue
+            il, ih, ql = int(i_lo[b]), int(i_hi[b]), int(qlen[b])
+            cig = runs_to_cigar(ops[b], il, ih, ql)
+            records[i] = dict(
+                ref_id=int(tid_b[b]), pos=int(pos_b[b]),
+                strand=int(strands[b]),
+                mapq=min(int(m["mapq"]), 40),  # mate-evidence placement
+                cigar=cig, score=int(score[b]),
+            )
 
 
 def _mapq(v1: int, v2: int, score: int, qlen: int) -> int:

@@ -76,7 +76,12 @@ def main(argv=None):
                              else os.path.join(d, line))
     batch = open_bam_source(paths)
     genome = FastaIndex(args.genome)
-    window = max(parse_num_unit(args.window), 4_000_001)
+    from .runtime.budget import cns_window_len
+
+    window = cns_window_len(args.read_type,
+                            requested=parse_num_unit(args.window))
+    if window < parse_num_unit(args.window):
+        log.warning("window clamped to %d by available memory", window)
 
     done = set()
     if args.out != "stdout":

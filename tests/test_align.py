@@ -203,3 +203,35 @@ def test_device_traceback_matches_host():
             ha = ops_h[b][ops_h[b] > 0]
             da = ops_d[b][ops_d[b] > 0]
             assert np.array_equal(ha, da), (mode, b)
+
+
+def test_pe_mate_rescue():
+    """A mate whose every seed k-mer is broken still gets placed by the
+    banded rescue in the insert window (bwa mem_matesw role)."""
+    import numpy as np
+
+    from nextpolish_tpu.align.index import GenomeIndex
+    from nextpolish_tpu.align.mapper import map_short_batch
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    true = rng.choice(bases, 30000).tobytes()
+    idx = GenomeIndex.build([("ctg", true)], k=15, w=10)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    seqs = []
+    for i in range(60):
+        s = int(rng.integers(0, 30000 - 500))
+        r1 = true[s:s + 150]
+        r2 = true[s + 300:s + 450].translate(comp)[::-1]
+        if i % 3 == 0:
+            arr = bytearray(r2)
+            for j in range(0, 150, 11):  # an error inside every 15-mer
+                arr[j] = b"ACGT"[(arr[j] + 1) % 4]
+            r2 = bytes(arr)
+        seqs.append(r1)
+        seqs.append(r2)
+    recs = map_short_batch(idx, seqs, paired=True)
+    corrupted = [recs[2 * i + 1] for i in range(60) if i % 3 == 0]
+    mapped = [r for r in corrupted if not (r["flag"] & 4)]
+    assert len(mapped) >= len(corrupted) * 0.8
+    assert all(r["mapq"] <= 40 for r in mapped)  # mate-evidence cap
