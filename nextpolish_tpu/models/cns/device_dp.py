@@ -58,19 +58,21 @@ MAX_VB = 24
 
 @dataclass
 class DenseWindow:
-    """Fixed-shape per-level arrays + host-only maps for traceback."""
+    """Entry-major packed level data + host-only maps for traceback.
+    Entries stay as flat [Et] vectors (tag-major, slot ascending) and are
+    scattered straight into the batch slab at launch — no dense
+    [Lt, 6, E] intermediates on the host."""
 
-    # device inputs, shapes [Lt, 6, E] unless noted
-    link: np.ndarray  # int32
-    flags: np.ndarray  # uint8 (F_* bits)
-    pp_idx: np.ndarray  # int32 into concat(bnd_flat [Vb*6, E], prev [6, E])
-    match: np.ndarray  # uint32 bit n == pred slot n matches our ppp
-    cov: np.ndarray  # int32 [Lt] coverage at the level's position
-    is_d0: np.ndarray  # bool [Lt] level starts a new position
-    vslot: np.ndarray  # int32 [Lt] boundary ring slot (-1 = unreferenced)
-    # host-only
-    entry_id: np.ndarray  # int64 [Lt, 6, E] absolute EdgeTable index, -1 pad
+    ent_lvl: np.ndarray  # int64 [Et] level index
+    ent_b: np.ndarray  # int8 [Et] base cell 0..5
+    ent_slot: np.ndarray  # int8 [Et] entry slot (insertion order)
+    ent_A: np.ndarray  # int32 [Et] (link<<16)|(pp_idx<<8)|flags
+    ent_M: np.ndarray  # int32 [Et] match bits
+    ent_same: np.ndarray  # bool [Et] pp_idx points at the same-pos section
+    meta: np.ndarray  # int32 [Lt] (cov<<8)|((vslot+1)<<2)|(is_d0<<1)
+    eorder: np.ndarray  # int64 [Et] absolute EdgeTable index per entry
     level_pos: np.ndarray  # int32 [Lt]
+    n_levels: int
     Vb: int
     E: int
     edges: EdgeTable
@@ -190,23 +192,20 @@ def densify_window(edges: EdgeTable, coverage: np.ndarray, length: int
     match_e = (m.astype(np.uint64) * weights[None]).sum(axis=1).astype(
         np.uint32)
 
-    # ---- scatter the entry-major arrays into the level layout ----------
-    link = np.zeros((Lt, 6, E), dtype=np.int32)
-    flags = np.zeros((Lt, 6, E), dtype=np.uint8)
-    pp_idx = np.zeros((Lt, 6, E), dtype=np.int32)
-    match = np.zeros((Lt, 6, E), dtype=np.uint32)
-    entry_id = np.full((Lt, 6, E), -1, dtype=np.int64)
-    link[lvl_e, b_e, slot_sorted] = link_e
-    flags[lvl_e, b_e, slot_sorted] = flags_e
-    pp_idx[lvl_e, b_e, slot_sorted] = pp_idx_e
-    match[lvl_e, b_e, slot_sorted] = match_e
-    entry_id[lvl_e, b_e, slot_sorted] = eorder
-
+    # ---- entry-major packed words + per-level meta ---------------------
+    ent_A = ((link_e.astype(np.int32) << 16)
+             | (pp_idx_e << 8)
+             | flags_e.astype(np.int32))
+    meta = ((coverage[level_pos].astype(np.int32) << 8)
+            | ((vslot + 1) << 2)
+            | (is_d0.astype(np.int32) << 1))
     return DenseWindow(
-        link=link, flags=flags, pp_idx=pp_idx, match=match,
-        cov=coverage[level_pos].astype(np.int32), is_d0=is_d0,
-        vslot=vslot, entry_id=entry_id, level_pos=level_pos,
-        Vb=Vb, E=E, edges=edges, length=length)
+        ent_lvl=lvl_e, ent_b=b_e.astype(np.int8),
+        ent_slot=slot_sorted.astype(np.int8), ent_A=ent_A,
+        ent_M=match_e.astype(np.int64).astype(np.int32),
+        ent_same=~d0_e & ~head_e, meta=meta, eorder=eorder,
+        level_pos=level_pos, n_levels=Lt, Vb=Vb, E=E,
+        edges=edges, length=length)
 
 
 
@@ -361,28 +360,6 @@ def _get_scan(E, Vb, rt_id, cov_coef):
     return fn
 
 
-def _pack_window(dw: DenseWindow, E: int, Vb: int):
-    """DenseWindow -> packed (A [Lt,6E], M [Lt,6E], meta [Lt]) at the
-    batch's (E, Vb) caps (>= the window's own)."""
-    Lt, _, Ew = dw.link.shape
-    A = ((dw.link.astype(np.int32) << 16)
-         | (dw.pp_idx.astype(np.int32) << 8)
-         | dw.flags.astype(np.int32))
-    M = dw.match.astype(np.int64).astype(np.int32)
-    if Vb != dw.Vb:
-        # re-base same-position pred indices past the wider boundary ring
-        same = dw.pp_idx >= dw.Vb * 6
-        A += np.where(same, (Vb - dw.Vb) * 6, 0).astype(np.int32) << 8
-    if Ew != E:
-        pad = ((0, 0), (0, 0), (0, E - Ew))
-        A = np.pad(A, pad)
-        M = np.pad(M, pad)
-    meta = ((dw.cov.astype(np.int32) << 8)
-            | ((dw.vslot + 1).astype(np.int32) << 2)
-            | (dw.is_d0.astype(np.int32) << 1))
-    return A.reshape(Lt, 6 * E), M.reshape(Lt, 6 * E), meta
-
-
 def _run_batch(dws, read_type, cov_coef=None, mesh=None):
     """Run the scan over a batch of DenseWindows; returns per-window
     (best [Lt,6], sc_bm [Lt,6]) numpy arrays.  With `mesh`, the batch
@@ -392,29 +369,34 @@ def _run_batch(dws, read_type, cov_coef=None, mesh=None):
 
     rt_id = READ_TYPE_ID[read_type]
     c = COV_COEF[read_type] if cov_coef is None else cov_coef
-    E = max(dw.E for dw in dws)
-    Vb = max(dw.Vb for dw in dws)
+    # bucket the caps so the jit cache sees few shape variants
+    E = min(x for x in (8, 12, 16, 20, 24)
+            if x >= max(dw.E for dw in dws))
+    Vb = min(x for x in (8, 16, 24)
+             if x >= max(dw.Vb for dw in dws))
     T = LEVELS_PER_STEP
     n_real = len(dws)
     if mesh is not None:
         nd = int(np.prod(list(mesh.shape.values())))
         while len(dws) % nd:
             dws = dws + [dws[-1]]
-    Lts = [len(dw.cov) for dw in dws]
+    Lts = [dw.n_levels for dw in dws]
     Lc = -(-max(Lts) // T)
     Lc = -(-Lc // _LC_BUCKET) * _LC_BUCKET
     B = len(dws)
     A = np.zeros((B, Lc * T, 6 * E), dtype=np.int32)
     M = np.zeros((B, Lc * T, 6 * E), dtype=np.int32)
     meta = np.ones((B, Lc * T), dtype=np.int32)  # pad bit set
-    packed = {}
     for i, dw in enumerate(dws):
-        if id(dw) not in packed:
-            packed[id(dw)] = _pack_window(dw, E, Vb)
-        a, m, mt = packed[id(dw)]
-        A[i, :Lts[i]] = a
-        M[i, :Lts[i]] = m
-        meta[i, :Lts[i]] = mt
+        col = dw.ent_b.astype(np.int64) * E + dw.ent_slot
+        a = dw.ent_A
+        if Vb != dw.Vb:
+            # re-base same-position pred indices past the wider ring
+            a = a + (dw.ent_same.astype(np.int32) * ((Vb - dw.Vb) * 6)
+                     << 8)
+        A[i, dw.ent_lvl, col] = a
+        M[i, dw.ent_lvl, col] = dw.ent_M
+        meta[i, :Lts[i]] = dw.meta
     fn = _get_scan(E, Vb, rt_id, c)
     args = (A.reshape(B, Lc, T, 6 * E), M.reshape(B, Lc, T, 6 * E),
             meta.reshape(B, Lc, T))
@@ -438,7 +420,9 @@ def device_link_dp(dw: DenseWindow, read_type: str,
 
 
 def _to_edge_outputs(dw: DenseWindow, best: np.ndarray, sc_bm: np.ndarray):
-    """Map per-level winners back to per-tag arrays on the EdgeTable."""
+    """Map per-level winners back to per-tag arrays on the EdgeTable.
+    Entries are tag-major with slots ascending, so a tag's winning entry
+    is eorder[tag_off[t] + best_slot[t]]."""
     edges = dw.edges
     Tn = len(edges.tag_key)
     tp, td, tb = unpack_keys(edges.tag_key)
@@ -447,8 +431,8 @@ def _to_edge_outputs(dw: DenseWindow, best: np.ndarray, sc_bm: np.ndarray):
     new_lvl[1:] = lvl_key[1:] != lvl_key[:-1]
     lvl_of_tag = np.cumsum(new_lvl) - 1
     b_of_tag = tb.astype(np.int64)
-    best_arr = dw.entry_id[lvl_of_tag, b_of_tag,
-                           best[lvl_of_tag, b_of_tag].astype(np.int64)]
+    best_slot = best[lvl_of_tag, b_of_tag].astype(np.int64)
+    best_arr = dw.eorder[edges.tag_off[:-1] + best_slot]
     score_arr = np.full(len(edges.cur), NEG, dtype=np.int64)
     score_arr[best_arr] = sc_bm[lvl_of_tag, b_of_tag]
     return score_arr, best_arr
