@@ -197,29 +197,31 @@ def traceback(edges: EdgeTable, score: np.ndarray, best: np.ndarray,
     # >= with later-wins: take the last argmax (C scans (d, b) ascending)
     gi = int(last[len(bs) - 1 - int(np.argmax(bs[::-1]))])
 
-    pos_l, base_l, qv_l = [], [], []
-    ti = gi
-    guard = 0
+    # per-tag successor: the winning entry's pp tag (precomputed so the
+    # chase is a bare index-chain walk; emission is vectorized after)
+    pp_best = edges.pp[best]
+    nxt_arr = np.searchsorted(edges.tag_key, pp_best)
+    ok = (pp_best >= 0) & (nxt_arr < Tn)
+    ok &= edges.tag_key[np.minimum(nxt_arr, Tn - 1)] == pp_best
+    nxt_arr = np.where(ok, nxt_arr, -1)
+
     maxn = int(edges.tag_off[-1]) + length + 8
-    while guard < maxn:
-        guard += 1
-        e = int(best[ti])
-        if tb[ti] != GAP:
-            cov = max(int(coverage[tp[ti]]), 1)
-            qv = 100 * int(edges.link[e]) // cov
-            ch = CNS_TO_ASCII[tb[ti]]
-            if not (coverage[tp[ti]] > min_cov and qv > lq_min_qv):
-                ch = ch + 32 if ch < 97 else ch
-            pos_l.append(int(tp[ti]))
-            base_l.append(int(ch))
-            qv_l.append(qv)
-        nxt = edges.pp[e]
-        if nxt < 0:
-            break
-        ti = int(np.searchsorted(edges.tag_key, nxt))
-        if ti >= Tn or edges.tag_key[ti] != nxt:
-            break
-    pos = np.array(pos_l[::-1], dtype=np.int32)
-    base = np.array(base_l[::-1], dtype=np.uint8)
-    qv = np.array(qv_l[::-1], dtype=np.int32)
-    return Consensus(pos, base, qv)
+    path = np.empty(maxn, dtype=np.int64)
+    nxt_l = nxt_arr.tolist()
+    ti = gi
+    n = 0
+    while ti >= 0 and n < maxn:
+        path[n] = ti
+        n += 1
+        ti = nxt_l[ti]
+    path = path[:n]
+
+    keep = tb[path] != GAP
+    vis = path[keep]
+    covp = np.maximum(coverage[tp[vis]], 1).astype(np.int64)
+    qv = (100 * edges.link[best[vis]].astype(np.int64)) // covp
+    ch = CNS_TO_ASCII[tb[vis]].astype(np.int32)
+    low = ~((coverage[tp[vis]] > min_cov) & (qv > lq_min_qv))
+    ch = np.where(low & (ch < 97), ch + 32, ch).astype(np.uint8)
+    return Consensus(tp[vis][::-1].astype(np.int32).copy(),
+                     ch[::-1].copy(), qv[::-1].astype(np.int32).copy())
