@@ -131,12 +131,22 @@ class Pipeline:
     # ------------------------------------------------------------------
     # per-task machinery
     # ------------------------------------------------------------------
+    CHUNK_READS = 200_000  # chunked ingest: raw FASTQ buffers stay
+    # O(chunk) while mapping (seq_split's read-chunk role)
+
     def map_sgs(self, genome: FastaIndex) -> bamio.AlnBatch:
-        seqs, quals, names, paired = self.load_sgs_reads()
         idx = GenomeIndex.build(
             [(n, genome.fetch(n).seq) for n in genome.names], k=17, w=7
         )
-        recs = map_short_batch(idx, seqs, names, quals, paired=paired)
+        recs = []
+        paired = False
+        seqs, quals, names, paired = self.load_sgs_reads()
+        c = self.CHUNK_READS - (self.CHUNK_READS % 2)  # keep mates together
+        for lo in range(0, len(seqs), c):
+            recs.extend(map_short_batch(idx, seqs[lo:lo + c],
+                                        names[lo:lo + c],
+                                        quals[lo:lo + c], paired=paired))
+        self._sgs_cache = None  # raw reads no longer needed
         if not self.cfg.sgs_use_duplicate_reads and paired:
             recs = mark_duplicates(recs)
         return records_to_batch(recs, idx)
@@ -146,7 +156,11 @@ class Pipeline:
         idx = GenomeIndex.build(
             [(n, genome.fetch(n).seq) for n in genome.names], k=15, w=10
         )
-        recs = map_long_batch(idx, seqs, names)
+        recs = []
+        for lo in range(0, len(seqs), self.CHUNK_READS):
+            recs.extend(map_long_batch(idx, seqs[lo:lo + self.CHUNK_READS],
+                                       names[lo:lo + self.CHUNK_READS]))
+        self._lgs_cache.pop(kind, None)
         return records_to_batch(recs, idx)
 
     def polish_task(self, task: int, genome_path: str, outfile: str) -> None:
