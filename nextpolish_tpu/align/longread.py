@@ -22,46 +22,68 @@ _M, _I, _D, _S = 0, 1, 2, 4
 
 # segment buckets: (max qlen, band)
 _BUCKETS = [(16, 32), (32, 32), (64, 64), (128, 64), (256, 128), (512, 128),
-            (1024, 256), (2048, 256)]
+            (1024, 256), (2048, 256), (4096, 512)]
 
 
 def _anchors(idx: GenomeIndex, codes: np.ndarray, k: int):
-    """All (qpos, rpos, orientation) minimizer matches for one read."""
+    """All (qpos, rpos, orientation, unique) minimizer matches for one
+    read; `unique` marks anchors whose minimizer occurs once in the
+    genome (repeat-free guideposts for the diagonal filter)."""
     h, st = kmer_hashes(codes, k)
     ok = h != np.uint64(0xFFFFFFFFFFFFFFFF)
     qpos = np.flatnonzero(ok)
     if not qpos.size:
-        return (np.empty(0, np.int64),) * 3
+        return (np.empty(0, np.int64),) * 3 + (np.empty(0, bool),)
     hq = h[qpos]
     lo, hi = idx.lookup(hq)
     n = hi - lo
     tot = int(n.sum())
     if not tot:
-        return (np.empty(0, np.int64),) * 3
+        return (np.empty(0, np.int64),) * 3 + (np.empty(0, bool),)
     rep = np.repeat(np.arange(qpos.size), n)
     flat = np.repeat(lo, n) + (np.arange(tot) - np.repeat(np.cumsum(n) - n, n))
     rpos = idx.positions[flat]
     same = idx.strands[flat] == st[qpos][rep]
-    return qpos[rep].astype(np.int64), rpos.astype(np.int64), same
+    uniq = (n == 1)[rep]
+    return qpos[rep].astype(np.int64), rpos.astype(np.int64), same, uniq
 
 
-def _chain(qp: np.ndarray, rp: np.ndarray, L: int, k: int):
-    """Rolling-median diagonal filter + LIS -> colinear anchor chain."""
+def _chain(qp: np.ndarray, rp: np.ndarray, L: int, k: int,
+           uniq: np.ndarray | None = None):
+    """Diagonal filter + LIS -> colinear anchor chain.
+
+    The diagonal baseline comes from unique-minimizer anchors when
+    enough exist (repeat copies pull a plain rolling median onto the
+    wrong copy; unique flank anchors interpolate the true diagonal
+    straight through a repeat), else a rolling median of all anchors."""
     if qp.size < 4:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     order = np.argsort(qp, kind="stable")
     qp, rp = qp[order], rp[order]
+    if uniq is not None:
+        uniq = uniq[order]
     diag = rp - qp
-    wnd = min(21, qp.size)
-    if qp.size >= wnd:
-        med = np.median(
-            np.lib.stride_tricks.sliding_window_view(diag, wnd), axis=1
-        )
-        pad = wnd // 2
-        full = np.concatenate([np.full(pad, med[0]), med,
-                               np.full(diag.size - med.size - pad, med[-1])])
-    else:
-        full = np.full(diag.size, np.median(diag))
+    full = None
+    if uniq is not None and int(uniq.sum()) >= 4:
+        uq, ud = qp[uniq], diag[uniq]
+        # guideposts must agree with each other (a handful of unique
+        # anchors can still be noise): median-filter them first
+        umed = np.median(ud)
+        good = np.abs(ud - umed) < 2000
+        if int(good.sum()) >= 4:
+            full = np.interp(qp, uq[good], ud[good].astype(np.float64))
+    if full is None:
+        wnd = min(21, qp.size)
+        if qp.size >= wnd:
+            med = np.median(
+                np.lib.stride_tricks.sliding_window_view(diag, wnd), axis=1
+            )
+            pad = wnd // 2
+            full = np.concatenate(
+                [np.full(pad, med[0]), med,
+                 np.full(diag.size - med.size - pad, med[-1])])
+        else:
+            full = np.full(diag.size, np.median(diag))
     keep = np.abs(diag - full) < 500
     qp, rp = qp[keep], rp[keep]
     if not qp.size:
@@ -119,7 +141,7 @@ def _find_parts(idx: GenomeIndex, codes: np.ndarray, k: int, min_chain: int):
     multi-part primary/supplementary output that feeds SA tags,
     util/minimap2 + lib/ctg_cns.c:2158 set_satags).  Returns a list of
     (strand, cq, cr, oriented_codes) ordered best-first."""
-    qpos, rpos, same = _anchors(idx, codes, k)
+    qpos, rpos, same, uniq = _anchors(idx, codes, k)
     L = codes.size
     parts = []
     used = np.zeros(max(L, 1), dtype=bool)
@@ -130,9 +152,9 @@ def _find_parts(idx: GenomeIndex, codes: np.ndarray, k: int, min_chain: int):
             m = same if strand == 0 else ~same
             qo = qpos[m]
             keep = ~used[qo]
-            qo, ro = qo[keep], rpos[m][keep]
+            qo, ro, un = qo[keep], rpos[m][keep], uniq[m][keep]
             qp = qo if strand == 0 else L - k - qo
-            cq, cr = _chain(qp, ro, L, k)
+            cq, cr = _chain(qp, ro, L, k, uniq=un)
             if best is None or cq.size > best[1].size:
                 best = (strand, cq, cr)
         strand, cq, cr = best

@@ -172,3 +172,35 @@ def test_split_read_sa_tags(lr_genome):
     assert real, "no gap candidate from the SA tags"
     for cand in real:
         assert abs(cand.gap_s - 20000) < 300 and abs(cand.gap_e - 26000) < 300
+
+
+def test_repeat_crossing_read_chains_through():
+    """A read spanning one copy of a near-identical multi-copy repeat
+    must chain straight through on its flank-anchored diagonal (one
+    part, correct placement) instead of splitting or dropping to
+    another copy."""
+    import numpy as np
+
+    from nextpolish_tpu.align.index import GenomeIndex
+    from nextpolish_tpu.align.longread import map_long_batch
+
+    rng = np.random.default_rng(2)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    g = bytearray(rng.choice(bases, 60000).tobytes())
+    seg = bytes(g[10000:13000])
+    for dst in (25000, 40000, 50000):
+        s2 = bytearray(seg)
+        for _ in range(30):  # ~1% divergence between copies
+            p = int(rng.integers(0, len(seg)))
+            s2[p] = int(rng.choice(bases))
+        g[dst:dst + 3000] = s2
+    genome = bytes(g)
+    idx = GenomeIndex.build([("ctg", genome)], k=15, w=10)
+    # read spanning the 25k copy with 2kb flanks on both sides
+    read = genome[23000:30000]
+    recs = [r for r in map_long_batch(idx, [read]) if r["tid"] >= 0]
+    assert len(recs) == 1, [hex(r["flag"]) for r in recs]
+    assert abs(recs[0]["pos"] - 23000) < 50
+    cig = recs[0]["cigar"]
+    ops, lens = cig & 0xF, cig >> 4
+    assert int(lens[ops == 0].sum()) > 6800  # nearly the whole read aligned
