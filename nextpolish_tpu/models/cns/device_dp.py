@@ -106,11 +106,11 @@ def densify_window(edges: EdgeTable, coverage: np.ndarray, length: int
     # int32 score-overflow guard: sum over levels of the largest positive
     # per-entry increment bounds any chain score
     c = 3  # smallest cov coefficient gives the largest increment bound
-    link_max = np.zeros(Lt, dtype=np.int64)
-    np.maximum.at(link_max, lvl_of_tag,
-                  np.maximum.reduceat(
-                      edges.link.astype(np.int64), edges.tag_off[:-1])
-                  if Tn else 0)
+    # tags are contiguous per level: per-tag max then per-level max,
+    # both as reduceat over the sorted layout
+    tag_link_max = np.maximum.reduceat(
+        edges.link.astype(np.int64), edges.tag_off[:-1])
+    link_max = np.maximum.reduceat(tag_link_max, lstarts)
     inc = np.maximum(10 * link_max - c * coverage[level_pos], 0)
     if int(inc.sum()) >= 2 ** 30:
         return None

@@ -81,9 +81,9 @@ def build_edges(cols: TagColumns) -> EdgeTable:
     cur = ck[starts]
     ppv = pk[starts]
     pppv = qk[starts]
-    # first-occurrence (minimum original column index) per group
-    ins = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(ins, gid, order)
+    # first-occurrence (minimum original column index) per group —
+    # groups are contiguous in sorted order, so reduceat beats ufunc.at
+    ins = np.minimum.reduceat(order, starts)
 
     tag_change = np.ones(len(cur), dtype=bool)
     tag_change[1:] = cur[1:] != cur[:-1]
