@@ -162,7 +162,15 @@ class IndexedBam:
         for u, c in voffs:
             if u <= off:
                 bo = (u, c)
-        first_voff = (bo[1] << 16) | (off - bo[0])
+        uoff = off - bo[0]
+        payload, nxt = self._block(bo[1])
+        if uoff >= len(payload) and uoff > 0:
+            # header ends exactly at the block boundary: a 16-bit uoff
+            # cannot hold 65536, so the first record's voff is the next
+            # block at uoff 0
+            first_voff = nxt << 16
+        else:
+            first_voff = (bo[1] << 16) | uoff
         return BamHeader(text, names, lengths), first_voff
 
     # ---- region fetch --------------------------------------------------
@@ -244,7 +252,9 @@ class IndexedBam:
                 p = 0
             refid, pos = struct.unpack_from("<ii", rec, 0)
             if tid is not None:
-                if refid > tid or (refid == tid and pos > end):
+                # refid -1 (unmapped tail of a position-sorted BAM) sorts
+                # after every reference: stop, don't skip-scan it per fetch
+                if refid < 0 or refid > tid or (refid == tid and pos > end):
                     break
                 if refid < tid:
                     continue

@@ -56,15 +56,28 @@ def cns_device_batch(level_bytes_per_window: int, n_windows: int,
     return max(1, min(b, n_windows))
 
 
+# per-draft-base host bytes for tag/MSA columns by read type: noisier
+# reads carry more insertion columns per position (ONT/CLR delta tracks
+# are deeper than HiFi's, lib/ctg_cns.c:1213-1256 tag packing)
+_CNS_BYTES_PER_BASE = {"ont": 14, "clr": 14, "rs": 14, "hifi": 8}
+
+
 def cns_window_len(read_type: str, coverage_hint: int = 60,
                    avail_bytes: int | None = None,
-                   requested: int = 5_000_000) -> int:
+                   requested: int = 5_000_000) -> tuple[int, bool]:
     """Clamp the consensus window (-w) to host memory, mirroring the
     shape of set_window_process: tag columns cost roughly
-    coverage * ~10 bytes per draft base on the host side."""
+    coverage * bytes-per-base(read_type) on the host side.
+
+    Returns (window, ram_clamped): ram_clamped is True only when host
+    memory actually reduced the request — the 4*overlap+1 floor
+    (lib/ctg_cns.c:3368) can *raise* a small request and must not be
+    reported as a memory clamp."""
     avail = host_available_bytes() if avail_bytes is None else avail_bytes
-    per_base = max(coverage_hint, 1) * 10
+    per_base = max(coverage_hint, 1) * _CNS_BYTES_PER_BASE.get(read_type, 12)
     cap = int(avail * 0.5) // per_base
     w = min(requested, max(cap, 1_000_000))
+    ram_clamped = w < requested
     # ctg_cns_init requires w >= 4 * overlap + 1 (lib/ctg_cns.c:3368)
-    return max(w, 4_000_001)
+    w = max(w, 4_000_001)
+    return w, ram_clamped and w < requested

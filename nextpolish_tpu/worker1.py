@@ -123,25 +123,36 @@ def main(argv=None):
         cfg.read_tlen = estimate_read_tlen(head, cfg)
         lgs = open_contig_source(args.bam_lgs) if args.bam_lgs else None
 
+    def per_contig(src, name, seqlen):
+        """Resolve a BAM source to this contig's AlnBatch.  IndexedBam
+        streams per region (htslib bam_itr_queryi role); an in-memory
+        AlnBatch passes through — tasks 2-5 expect column arrays
+        (batch.flag/tlen/mapq), not a streaming handle."""
+        if src is not None and hasattr(src, "fetch"):
+            return src.fetch(src.header.name2id(name), 0, max(seqlen - 1, 0))
+        return src
+
     engine = None
     if args.task == 1:
         from .models.score_chain import score_chain_pipeline
     elif args.task == 2:
         from .models.kmer_count import kmer_count_contig as fn
 
-        engine = lambda n, s: fn(n, s, sgs, cfg)
+        engine = lambda n, s: fn(n, s, per_contig(sgs, n, len(s)), cfg)
     elif args.task == 3:
         from .models.snp_phase import snp_phase_contig as fn
 
-        engine = lambda n, s: fn(n, s, sgs, lgs, cfg)
+        engine = lambda n, s: fn(n, s, per_contig(sgs, n, len(s)),
+                                 per_contig(lgs, n, len(s)), cfg)
     elif args.task == 5:
         from .models.lgs_polish import lgspolish_contig as fn
 
-        engine = lambda n, s: fn(n, s, lgs, cfg)
+        engine = lambda n, s: fn(n, s, per_contig(lgs, n, len(s)), cfg)
     else:
         from .models.snp_valid import snp_valid_contig as fn
 
-        engine = lambda n, s: fn(n, s, sgs, lgs, cfg)
+        engine = lambda n, s: fn(n, s, per_contig(sgs, n, len(s)),
+                                 per_contig(lgs, n, len(s)), cfg)
 
     done = set()
     if args.out != "stdout":

@@ -78,9 +78,9 @@ def main(argv=None):
     genome = FastaIndex(args.genome)
     from .runtime.budget import cns_window_len
 
-    window = cns_window_len(args.read_type,
-                            requested=parse_num_unit(args.window))
-    if window < parse_num_unit(args.window):
+    window, ram_clamped = cns_window_len(
+        args.read_type, requested=parse_num_unit(args.window))
+    if ram_clamped:
         log.warning("window clamped to %d by available memory", window)
 
     done = set()
