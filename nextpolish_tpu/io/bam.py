@@ -138,14 +138,18 @@ class AlnBatch:
         )
 
     def ref_span(self) -> np.ndarray:
-        """Reference-consumed length per record (bam_cigar2rlen equivalent)."""
-        spans = np.zeros(len(self), dtype=np.int64)
+        """Reference-consumed length per record (bam_cigar2rlen equivalent).
+        Memoized per batch — several pileup passes ask for it."""
+        cached = getattr(self, "_span_cache", None)
+        if cached is not None:
+            return cached
         ops = self.cigar & 0xF
         lens = self.cigar >> 4
         contrib = lens * CONSUMES_R[ops]
         cum = np.concatenate([[0], np.cumsum(contrib)])
         ends = self.cigar_off + self.cigar_len
         spans = cum[ends] - cum[self.cigar_off]
+        self._span_cache = spans
         return spans
 
     def clip_lens(self) -> tuple[np.ndarray, np.ndarray]:

@@ -438,11 +438,39 @@ def _to_edge_outputs(dw: DenseWindow, best: np.ndarray, sc_bm: np.ndarray):
     return score_arr, best_arr
 
 
+def prepare_window(merged, coverage, length):
+    """TagColumns -> (EdgeTable, DenseWindow | None), via the native
+    single-pass builder (cns_prep.cpp) when available; the numpy
+    build_edges + densify_window pair is the fallback and the oracle the
+    native path is tested against."""
+    from ... import native
+
+    if native.available():
+        cov = np.ascontiguousarray(coverage, dtype=np.int32)
+        out = native.cns_prepare(merged.t_pos, merged.delta, merged.q_base,
+                                 merged.row_off, cov, length, MAX_E, MAX_VB)
+        if out is not None:
+            ed, dn = out
+            edges = EdgeTable(ed["cur"], ed["pp"], ed["ppp"], ed["link"],
+                              ed["ins"], ed["tag_key"], ed["tag_off"])
+            dw = None
+            if dn is not None:
+                dw = DenseWindow(
+                    ent_lvl=dn["ent_lvl"], ent_b=dn["ent_b"],
+                    ent_slot=dn["ent_slot"], ent_A=dn["ent_A"],
+                    ent_M=dn["ent_M"], ent_same=dn["ent_same"],
+                    meta=dn["meta"], eorder=dn["eorder"],
+                    level_pos=dn["level_pos"], n_levels=dn["n_levels"],
+                    Vb=dn["Vb"], E=dn["E"], edges=edges, length=length)
+            return edges, dw
+    edges = build_edges(merged)
+    return edges, densify_window(edges, coverage, length)
+
+
 def cns_dp_device(merged, coverage, length, read_type, min_cov, lq_min_qv):
     """Device counterpart of native.cns_dp: TagColumns -> Consensus, or
     None when the window exceeds the device caps."""
-    edges = build_edges(merged)
-    dw = densify_window(edges, coverage, length)
+    edges, dw = prepare_window(merged, coverage, length)
     if dw is None:
         return None
     score, best = device_link_dp(dw, read_type)
@@ -457,8 +485,7 @@ def cns_dp_device_batch(items, read_type, min_cov, lq_min_qv):
     denses = []
     metas = []
     for merged, coverage, length in items:
-        edges = build_edges(merged)
-        dw = densify_window(edges, coverage, length)
+        edges, dw = prepare_window(merged, coverage, length)
         denses.append(dw)
         metas.append((edges, coverage, length))
     todo = [i for i, dw in enumerate(denses) if dw is not None]

@@ -69,12 +69,14 @@ def select_window_reads(batch: AlnBatch, tid: int, s: int, e: int,
     return np.flatnonzero(m)
 
 
-def window_consensus(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
-                     s: int, e: int, read_type: str, min_cov: int = 4,
-                     repair: bool = True, struct_ctx: StructState | None = None,
-                     contig_name: str = ""):
-    """One window's consensus (pos window-local); mirrors the per-window
-    body of ctg_cns_core."""
+def window_prep(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
+                s: int, e: int, read_type: str,
+                struct_ctx: StructState | None = None,
+                contig_name: str = "") -> "WindowWork":
+    """Host preparation of one window (pos window-local): read filtering,
+    tag expansion, structural pass — everything in the per-window body of
+    ctg_cns_core before the link DP.  Returns a WindowWork for
+    window_dp/window_dp_batch + window_repair."""
     L = e - s
     accum = WindowAccum(contig_ascii, s, e, GAP_MIN_LEN[read_type])
     brk_g = struct_ctx is not None and struct_ctx.brk_g
@@ -184,39 +186,116 @@ def window_consensus(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
 
     merged = accum.finish()
     coverage = accum.coverage[:L] + 1
-    l_ins, l_del = accum.l_ins, accum.l_del
-    # HIFI's _lq flow marks low-qv with DAG_MIN_QV=80 (:1794-1798)
+    return WindowWork(merged, coverage, L, accum.l_ins, accum.l_del,
+                      clusters)
+
+
+@dataclass
+class WindowWork:
+    """Host-prepped window awaiting its DP — the unit the batched device
+    scan consumes (the window axis is the TPU batch dimension,
+    lib/ctg_cns.c:3455-3594)."""
+
+    merged: object  # TagColumns
+    coverage: np.ndarray
+    L: int
+    l_ins: np.ndarray
+    l_del: np.ndarray
+    clusters: list
+
+
+def default_engine() -> str:
+    """NPT_CNS_ENGINE wins; otherwise the device path on an accelerator
+    backend and the native host engine on CPU."""
+    eng = os.environ.get("NPT_CNS_ENGINE")
+    if eng:
+        return eng
+    try:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            return "device"
+    except Exception:
+        pass
+    return "native"
+
+
+def window_dp(work: WindowWork, read_type: str, min_cov: int,
+              engine: str | None = None):
+    """One window's link DP through the selected engine (no repair)."""
     lq_min_qv = 80 if read_type == "hifi" else 20
+    eng = engine or default_engine()
     cns = None
-    eng = os.environ.get("NPT_CNS_ENGINE", "native")
     if eng == "device":
         from .device_dp import cns_dp_device
 
-        cns = cns_dp_device(merged, coverage, L, read_type, min_cov,
-                            lq_min_qv)
+        cns = cns_dp_device(work.merged, work.coverage, work.L, read_type,
+                            min_cov, lq_min_qv)
     if cns is None and eng != "numpy":
         from ...native import cns_dp as native_cns_dp
 
-        nat = native_cns_dp(merged.t_pos, merged.delta, merged.q_base,
-                            merged.row_off, coverage, L, read_type, min_cov,
+        nat = native_cns_dp(work.merged.t_pos, work.merged.delta,
+                            work.merged.q_base, work.merged.row_off,
+                            work.coverage, work.L, read_type, min_cov,
                             lq_min_qv)
         if nat is not None:
             cns = Consensus(nat[0], nat[1], nat[2])
     if cns is None:
-        edges = build_edges(merged)
-        score, best = link_dp(edges, coverage, read_type)
-        cns = traceback(edges, score, best, coverage, L, read_type, min_cov,
-                        lq_min_qv=lq_min_qv)
-    if repair and len(cns.pos):
-        if read_type == "hifi":
-            from .lqrepair import repair_hifi
+        edges = build_edges(work.merged)
+        score, best = link_dp(edges, work.coverage, read_type)
+        cns = traceback(edges, score, best, work.coverage, work.L,
+                        read_type, min_cov, lq_min_qv=lq_min_qv)
+    return cns
 
-            cns = repair_hifi(cns, merged, coverage, clusters)
-        else:
-            from .lqrepair import repair as exact_repair
 
-            cns = exact_repair(cns, merged, coverage, l_ins, l_del,
-                               read_type, clusters)
+def window_dp_batch(works: list, read_type: str, min_cov: int,
+                    engine: str | None = None) -> list:
+    """Batched DP over prepped windows — ONE device launch for every
+    window that fits the device caps, per-window fallback for the rest."""
+    eng = engine or default_engine()
+    lq_min_qv = 80 if read_type == "hifi" else 20
+    out = [None] * len(works)
+    if eng == "device" and len(works) > 0:
+        from .device_dp import cns_dp_device_batch
+
+        results = cns_dp_device_batch(
+            [(w.merged, w.coverage, w.L) for w in works], read_type,
+            min_cov, lq_min_qv)
+        for i, cns in enumerate(results):
+            out[i] = cns
+    for i, w in enumerate(works):
+        if out[i] is None:
+            out[i] = window_dp(w, read_type, min_cov,
+                               engine="native" if eng == "device" else eng)
+    return out
+
+
+def window_repair(work: WindowWork, cns, read_type: str):
+    """Per-window LQ repair (POA reseeding + realignment)."""
+    if not len(cns.pos):
+        return cns
+    if read_type == "hifi":
+        from .lqrepair import repair_hifi
+
+        return repair_hifi(cns, work.merged, work.coverage, work.clusters)
+    from .lqrepair import repair as exact_repair
+
+    return exact_repair(cns, work.merged, work.coverage, work.l_ins,
+                        work.l_del, read_type, work.clusters)
+
+
+def window_consensus(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
+                     s: int, e: int, read_type: str, min_cov: int = 4,
+                     repair: bool = True,
+                     struct_ctx: StructState | None = None,
+                     contig_name: str = ""):
+    """One window's full consensus (prep + DP + repair) — single-window
+    convenience path; the batched pipeline lives in consensus_for_contig."""
+    work = window_prep(batch, tid, contig_ascii, s, e, read_type,
+                       struct_ctx, contig_name)
+    cns = window_dp(work, read_type, min_cov)
+    if repair:
+        cns = window_repair(work, cns, read_type)
     return cns
 
 
@@ -339,20 +418,41 @@ def consensus_for_contig(batch: AlnBatch, tid: int, contig: bytes,
     if struct_ctx.brk_g:
         struct_ctx.ref_ide = st.cal_ref_ide(qv)
     fetcher = batch if hasattr(batch, "fetch") else None
-    parts = []
+    # window starts (the structural pass is stateful across windows, so
+    # prep stays in order; the DP batches across windows)
+    starts = []
     s = 0
     e = 0
     while e < length:
         e = min(s + b, length)
-        if fetcher is not None:
-            lim = (max(e, st.INS_RADOM_LEN)
-                   if (s == 0 and struct_ctx.brk_g) else e)
-            wbatch = fetcher.fetch(tid, s, max(lim - 1, s))
-        else:
-            wbatch = batch
-        cns = window_consensus(wbatch, tid, contig_ascii, s, e, read_type,
-                               min_cov, repair, struct_ctx, contig_name)
-        parts.append((s, cns))
+        starts.append((s, e))
         s = e - overlap
+
+    # group size: how many prepped windows fit one device launch
+    # (runtime.budget — replaces nextpolish2.py's RAM-driven -p)
+    from ...runtime.budget import cns_device_batch
+
+    # per-window slab cost ~ Lt levels (≈1.6/draft base) × 6E slots × two
+    # int32 words (A+M) + scan outputs
+    lvl_bytes = min(b, length) * 1152
+    group = cns_device_batch(lvl_bytes, len(starts))
+
+    parts = []
+    for glo in range(0, len(starts), group):
+        works = []
+        for s, e in starts[glo:glo + group]:
+            if fetcher is not None:
+                lim = (max(e, st.INS_RADOM_LEN)
+                       if (s == 0 and struct_ctx.brk_g) else e)
+                wbatch = fetcher.fetch(tid, s, max(lim - 1, s))
+            else:
+                wbatch = batch
+            works.append(window_prep(wbatch, tid, contig_ascii, s, e,
+                                     read_type, struct_ctx, contig_name))
+        cnss = window_dp_batch(works, read_type, min_cov)
+        for (s, e), work, cns in zip(starts[glo:glo + group], works, cnss):
+            if repair:
+                cns = window_repair(work, cns, read_type)
+            parts.append((s, cns))
     return stitch(parts, overlap, split=split,
                   split_ps=struct_ctx.split_ps)

@@ -142,39 +142,29 @@ def score_correct_region(state: ContigState, batch: AlnBatch,
                           sub_cell0, cfg)
 
 
-def _coverage_of_sparse(uk, cn, choice, n_dp) -> np.ndarray:
-    """Sparse chosen-suffix coverage."""
-    hi = np.searchsorted(uk, n_dp * np.int64(K3))
-    k = uk[:hi]
-    c = cn[:hi]
-    cell = k // K3
-    sel = (k & 7) == choice[cell]
-    cov = np.zeros(n_dp, dtype=np.int64)
-    np.add.at(cov, cell[sel], c[sel])
-    return cov
-
-
 def _apply_correction_sparse(state: ContigState, p, cell0: int, rate: float,
                              cfg: AlgoConfig) -> None:
     from ..ops.tropical import dispatch_chain_sparse
 
     n_dp = p.index.n_cells_dp
     dev = dispatch_chain_sparse(p.uk, p.cn, p.rk, p.refkmer, p.total, n_dp,
-                                rate)
+                                rate, cov_ratio=cfg.min_count_ratio_skip)
     _finish_correction_sparse(state, p, cell0, dev, cfg)
 
 
 def _finish_correction_sparse(state: ContigState, p, cell0: int, dev,
                               cfg: AlgoConfig) -> None:
+    """Unpack the device result byte: choice in bits 0-2, FLAG_ZERO /
+    FLAG_COVERAGE decisions in bits 3-4 (computed on device with the exact
+    integer-threshold equivalent of the host's f64 compares)."""
+    from ..ops.tropical import FLAGB_COV, FLAGB_ZERO
+
     n_dp = p.index.n_cells_dp
-    choice = np.asarray(dev)[:n_dp]
+    packed = np.asarray(dev)[:n_dp]
     cells = cell0 + np.arange(n_dp)
-    state.base[cells] = choice
-    total = p.total[:n_dp].astype(np.int64)
-    state.update_flags(cells, total == 1, FLAG_ZERO)
-    cov = _coverage_of_sparse(p.uk, p.cn, choice.astype(np.int64), n_dp)
-    low = cov < cfg.min_count_ratio_skip * np.maximum(total, 1)
-    state.update_flags(cells, low, FLAG_COVERAGE)
+    state.base[cells] = packed & 7
+    state.update_flags(cells, (packed >> FLAGB_ZERO) & 1 == 1, FLAG_ZERO)
+    state.update_flags(cells, (packed >> FLAGB_COV) & 1 == 1, FLAG_COVERAGE)
 
 
 def _apply_choice(state: ContigState, n_dp: int, choice: np.ndarray,
@@ -221,7 +211,8 @@ def score_chain_contig_begin(name: str, draft: bytes, batch: AlnBatch,
                                cfg.trim_len_edge)
     dev = dispatch_chain_sparse(p.uk, p.cn, p.rk, p.refkmer, p.total,
                                 p.index.n_cells_dp,
-                                cfg.indel_balance_factor_sgs)
+                                cfg.indel_balance_factor_sgs,
+                                cov_ratio=cfg.min_count_ratio_skip)
     return state, p, cell0, dev, cfg, draft
 
 
@@ -243,34 +234,62 @@ def score_chain_contig(name: str, draft: bytes, batch: AlnBatch,
 
 
 def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
-    """Depth-2 software pipeline over contigs: the device chain scan of
-    contig i runs while the host builds contig i+1's pileup (the TPU
-    analog of the reference's multiprocessing Pool over contigs,
-    lib/nextpolish1.py:223-224).  Yields (name, polished bytes) in order.
+    """Software-pipelined task 1 over contigs (the TPU analog of the
+    reference's multiprocessing Pool over contigs, lib/nextpolish1.py:223-224).
+    Three overlapped stages per contig:
 
-    `batch` may be a region source (anything with .fetch / .header, e.g.
-    io.bamregion.IndexedBam): each contig's reads are then fetched on
-    demand, so peak RAM is one contig, not the whole BAM."""
+      prep (worker thread): BAM fetch + cell index + native pileup walk —
+            the ctypes call releases the GIL, so it runs concurrently with
+            the main thread;
+      device: chain DP dispatched async; the result starts streaming to the
+            host immediately (start_host_copy) so the final fetch costs ~0
+            RTT on the tunneled backend;
+      finish (main thread): flags + FASTA emission.
+
+    Yields (name, polished bytes) in order.  `batch` may be a region source
+    (anything with .fetch / .header, e.g. io.bamregion.IndexedBam): each
+    contig's reads are then fetched on demand, so peak RAM is one contig,
+    not the whole BAM."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..ops.tropical import start_host_copy
+
     streaming = hasattr(batch, "fetch")
-    levels = None
-    prev = None
-    for name, seq in names_seqs:
+    shared_levels = None if streaming else pl.filter_sgs_chain(batch)
+
+    def prep(name, seq):
         if streaming:
             tid = batch.header.name2id(name)
             cbatch = batch.fetch(tid, 0, max(len(seq) - 1, 0))
             clevels = pl.filter_sgs_chain(cbatch)
         else:
-            cbatch = batch
-            if levels is None:
-                levels = pl.filter_sgs_chain(batch)
-            clevels = levels
-        h = score_chain_contig_begin(name, seq, cbatch, cfg,
-                                     levels=clevels)
-        if prev is not None:
-            yield prev[0], score_chain_contig_end(prev[1])
-        prev = (name, h)
-    if prev is not None:
-        yield prev[0], score_chain_contig_end(prev[1])
+            cbatch, clevels = batch, shared_levels
+        return score_chain_contig_begin(name, seq, cbatch, cfg,
+                                        levels=clevels)
+
+    from collections import deque
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        it = iter(names_seqs)
+        nxt = next(it, None)
+        fut = pool.submit(prep, *nxt) if nxt is not None else None
+        pending: deque = deque()  # (name, handle) with DP in flight
+        while fut is not None:
+            name = nxt[0]
+            h = fut.result()  # prep of this contig (DP now dispatched)
+            start_host_copy(h[3])
+            nxt = next(it, None)
+            fut = pool.submit(prep, *nxt) if nxt is not None else None
+            pending.append((name, h))
+            # depth-3: results are fetched two contigs behind their
+            # dispatch, giving the device scan + host copy two full prep
+            # slots to stream back before anyone blocks on them
+            if len(pending) > 2:
+                pname, ph = pending.popleft()
+                yield pname, score_chain_contig_end(ph)
+        while pending:
+            pname, ph = pending.popleft()
+            yield pname, score_chain_contig_end(ph)
 
 
 def td_score_chain_contig(name: str, draft: bytes, batch: AlnBatch,

@@ -48,6 +48,9 @@ def _load():
         lib.npt_poa_consensus.restype = ctypes.c_longlong
     if hasattr(lib, "npt_pileup_sgs"):
         lib.npt_pileup_sgs.restype = ctypes.c_longlong
+    if hasattr(lib, "npt_cns_prepare"):
+        lib.npt_cns_prepare.restype = ctypes.POINTER(_NptCnsPrep)
+        lib.npt_cns_prep_free.restype = None
     _LIB = lib
     return _LIB
 
@@ -128,6 +131,83 @@ def bam_scan(data: bytes, off: int):
 READ_TYPE_CODE = {"ont": 0, "clr": 1, "rs": 2, "hifi": 3}
 
 
+class _NptCnsPrep(ctypes.Structure):
+    """Mirror of struct NptCnsPrep in cns_prep.cpp (field order matters)."""
+
+    _fields_ = [
+        ("n_entries", ctypes.c_int64),
+        ("n_tags", ctypes.c_int64),
+        ("cur", ctypes.POINTER(ctypes.c_int64)),
+        ("pp", ctypes.POINTER(ctypes.c_int64)),
+        ("ppp", ctypes.POINTER(ctypes.c_int64)),
+        ("ins", ctypes.POINTER(ctypes.c_int64)),
+        ("tag_key", ctypes.POINTER(ctypes.c_int64)),
+        ("tag_off", ctypes.POINTER(ctypes.c_int64)),
+        ("link", ctypes.POINTER(ctypes.c_int32)),
+        ("dense_ok", ctypes.c_int32),
+        ("E", ctypes.c_int32),
+        ("Vb", ctypes.c_int32),
+        ("n_levels", ctypes.c_int64),
+        ("ent_lvl", ctypes.POINTER(ctypes.c_int64)),
+        ("eorder", ctypes.POINTER(ctypes.c_int64)),
+        ("ent_b", ctypes.POINTER(ctypes.c_int8)),
+        ("ent_slot", ctypes.POINTER(ctypes.c_int8)),
+        ("ent_same", ctypes.POINTER(ctypes.c_uint8)),
+        ("ent_A", ctypes.POINTER(ctypes.c_int32)),
+        ("ent_M", ctypes.POINTER(ctypes.c_int32)),
+        ("meta", ctypes.POINTER(ctypes.c_int32)),
+        ("level_pos", ctypes.POINTER(ctypes.c_int32)),
+    ]
+
+
+def cns_prepare(t_pos, delta, q_base, row_off, coverage, length: int,
+                max_e: int, max_vb: int):
+    """Native EdgeTable + DenseWindow preparation (cns_prep.cpp).  Returns
+    (edge_dict, dense_dict | None) of numpy copies, or None when the native
+    lib is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "npt_cns_prepare"):
+        return None
+    t_pos = np.ascontiguousarray(t_pos, dtype=np.int32)
+    delta = np.ascontiguousarray(delta, dtype=np.int16)
+    q_base = np.ascontiguousarray(q_base, dtype=np.uint8)
+    row_off = np.ascontiguousarray(row_off, dtype=np.int64)
+    coverage = np.ascontiguousarray(coverage, dtype=np.int32)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    ptr = lib.npt_cns_prepare(
+        p(t_pos), p(delta), p(q_base), p(row_off),
+        ctypes.c_longlong(len(row_off) - 1), p(coverage),
+        ctypes.c_longlong(length), ctypes.c_int(max_e), ctypes.c_int(max_vb))
+    if not ptr:
+        return None
+    s = ptr.contents
+    try:
+        def arr(field, n, copy=True):
+            a = np.ctypeslib.as_array(field, shape=(n,))
+            return a.copy() if copy else a
+
+        Et, Tn, Lt = s.n_entries, s.n_tags, s.n_levels
+        edges = dict(
+            cur=arr(s.cur, Et), pp=arr(s.pp, Et), ppp=arr(s.ppp, Et),
+            ins=arr(s.ins, Et), link=arr(s.link, Et),
+            tag_key=arr(s.tag_key, Tn), tag_off=arr(s.tag_off, Tn + 1))
+        dense = None
+        if s.dense_ok:
+            dense = dict(
+                ent_lvl=arr(s.ent_lvl, Et), eorder=arr(s.eorder, Et),
+                ent_b=arr(s.ent_b, Et), ent_slot=arr(s.ent_slot, Et),
+                ent_same=arr(s.ent_same, Et).astype(bool),
+                ent_A=arr(s.ent_A, Et), ent_M=arr(s.ent_M, Et),
+                meta=arr(s.meta, Lt), level_pos=arr(s.level_pos, Lt),
+                n_levels=int(Lt), E=int(s.E), Vb=int(s.Vb))
+    finally:
+        lib.npt_cns_prep_free(ptr)
+    return edges, dense
+
+
 def cns_dp(t_pos, delta, q_base, row_off, coverage, length: int,
            read_type: str, min_cov: int, lq_min_qv: int):
     """Native per-window consensus DP (cns_dp.cpp); returns
@@ -179,10 +259,13 @@ _PILEUP_SCRATCH = None  # persistent all-zero count table (grow-only)
 
 def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
                lqseq, start: int, end: int, cell_of, ins_len, n_cells: int,
-               n_dp: int, refkmer, trim_len_edge: int):
-    """Single-pass native pileup (pileup.cpp).  Returns sorted sparse
-    (uk int64, cn int64, rk uint16 first-observation ranks, totals int32)
-    or None when unavailable / too big."""
+               n_dp: int, refkmer, trim_len_edge: int,
+               max_span: int = 1 << 40, n_threads: int = 0):
+    """Single-pass native pileup (pileup.cpp), multithreaded over cell
+    ranges.  `max_span` bounds any read's reference span (tightens the
+    per-thread read subranges; the default disables the bound).  Returns
+    sorted sparse (uk int64, cn int64, rk uint16 first-observation ranks,
+    totals int32) or None when unavailable / too big."""
     global _PILEUP_SCRATCH
     lib = _load()
     if lib is None or not hasattr(lib, "npt_pileup_sgs"):
@@ -222,7 +305,8 @@ def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
         ctypes.c_longlong(start), ctypes.c_longlong(end), p(cell_of),
         p(ins_len), ctypes.c_longlong(n_cells), ctypes.c_longlong(n_dp),
         p(refkmer) if refkmer is not None else None,
-        ctypes.c_int(trim_len_edge), p(counts), p(totals),
+        ctypes.c_int(trim_len_edge), ctypes.c_longlong(max_span),
+        ctypes.c_int(n_threads), p(counts), p(totals),
         ctypes.byref(out_uk), ctypes.byref(out_cn), ctypes.byref(out_rk),
     )
     if nnz < 0:

@@ -7,6 +7,15 @@
 // 9-bit compact 3-mer, and direct increments into a dense
 // [n_cells * 512] uint16 count table (saturating) + int32 per-cell totals.
 //
+// Parallelism: the cell chain is split into T contiguous position ranges;
+// each thread walks every read that can emit into its range (reads are
+// position-sorted, so that is a binary-searched subrange) but only records
+// cells it owns.  A read spanning a boundary is walked by both neighbours
+// with identical rolling-kmer state, so per-cell observation order — and
+// therefore the first-observation ranks that encode the reference's
+// SeqList insertion order (lib/base.c:60-71) — is byte-identical to the
+// single-thread walk.
+//
 // Semantics must match ops/pileup.py::expand_reads + build_pileup_sparse
 // exactly (both are property-tested against the slow oracle and the
 // reference .so); see the comments there for why emissions form a
@@ -16,6 +25,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -34,12 +44,14 @@ struct Acc {
   uint16_t *counts;
   int32_t *totals;
   uint16_t *cellrank;          // next first-observation ordinal per cell
+  long long lo, hi;            // owned cell range [lo, hi)
   std::vector<int64_t> dirty;  // key<<9 | rank, pushed on the 0 -> 1
                                // transition (observation order = the
-                               // reference's SeqList data insertion order,
-                               // lib/base.c:60-71; rank < 512 since a cell
-                               // has at most 512 distinct 3-mers)
+                               // reference's SeqList data insertion order;
+                               // rank < 512 since a cell has at most 512
+                               // distinct 3-mers)
   inline void add(long long cell, int kmer) {
+    if (cell < lo || cell >= hi) return;
     const long long key = cell * 512 + kmer;
     uint16_t &c = counts[key];
     if (c == 0) dirty.push_back((key << 9) | cellrank[cell]++);
@@ -48,57 +60,51 @@ struct Acc {
   }
 };
 
-}  // namespace
+struct WalkArgs {
+  const int64_t *ridx;
+  long long n_sel;
+  const int32_t *rpos;
+  const uint32_t *cigar;
+  const int64_t *cigar_off;
+  const int32_t *cigar_len;
+  const uint8_t *seq_nib;
+  const int64_t *seq_off;
+  const int32_t *lqseq;
+  long long start, end;
+  const int64_t *cell_of;
+  const int64_t *ins_len;
+  long long n_dp;
+  const int32_t *refkmer;
+  int trim_len_edge;
+};
 
-extern "C" {
-
-// Accumulate the pileup of the selected reads (+ optional contig-as-read)
-// into counts[n_cells*512] / totals[n_cells].  `counts` must be all-zero on
-// entry; this function restores it to all-zero before returning (the caller
-// keeps one persistent scratch buffer — no per-call zeroing of the full
-// table).  Emits the sorted nonzero (key, count, first-observation rank)
-// triples via out_uk/out_cn/out_rk (malloc'd; free with npt_cns_free).
-// Returns nnz, or -1 on bad input.
-long long npt_pileup_sgs(
-    const int64_t *ridx, long long n_sel, const int32_t *rpos,
-    const uint32_t *cigar, const int64_t *cigar_off, const int32_t *cigar_len,
-    const uint8_t *seq_nib, const int64_t *seq_off, const int32_t *lqseq,
-    long long start, long long end, const int64_t *cell_of,
-    const int64_t *ins_len, long long n_cells, long long n_dp,
-    const int32_t *refkmer, int trim_len_edge, uint16_t *counts,
-    int32_t *totals, int64_t **out_uk, int64_t **out_cn, int64_t **out_rk) {
-  if (end < start || n_cells <= 0) return -1;
-  std::vector<uint16_t> cellrank((size_t)n_cells, 0);
-  Acc acc{counts, totals, cellrank.data(), {}};
-  acc.dirty.reserve(4096 + 3 * (size_t)n_cells);
-
-  // contig-as-read (lib/contig.c:373-383): one emission per DP cell
-  if (refkmer) {
-    for (long long c = 0; c < n_dp; c++) acc.add(c, refkmer[c] & 0x1FF);
-  }
-
-  for (long long s = 0; s < n_sel; s++) {
-    const long long r = ridx[s];
-    const int32_t lq = lqseq[r];
-    const int32_t ncig = cigar_len[r];
+// Walk reads [s_lo, s_hi) of ridx, recording only cells in [acc.lo, acc.hi)
+// anchored at positions <= pos_hi (the per-thread early-exit bound).
+void walk(const WalkArgs &a, Acc &acc, long long s_lo, long long s_hi,
+          long long pos_hi) {
+  const long long start = a.start, end = a.end;
+  for (long long s = s_lo; s < s_hi; s++) {
+    const long long r = a.ridx[s];
+    const int32_t lq = a.lqseq[r];
+    const int32_t ncig = a.cigar_len[r];
     if (ncig <= 0 || lq <= 0) continue;
-    const uint32_t *cig = cigar + cigar_off[r];
-    const uint8_t *nib = seq_nib + seq_off[r];
+    const uint32_t *cig = a.cigar + a.cigar_off[r];
+    const uint8_t *nib = a.seq_nib + a.seq_off[r];
 
     // trims (contig_cut_read, lib/contig.c:333-358)
     long long lsoft = ((cig[0] & 0xF) == CSOFT) ? (cig[0] >> 4) : 0;
     const uint32_t lastw = cig[ncig - 1];
     long long rsoft = ((lastw & 0xF) == CSOFT) ? (lastw >> 4) : 0;
-    long long qstart = trim_len_edge + lsoft;
-    long long qend = (long long)lq - trim_len_edge - rsoft - 1;
-    if (trim_len_edge > 0) {
+    long long qstart = a.trim_len_edge + lsoft;
+    long long qend = (long long)lq - a.trim_len_edge - rsoft - 1;
+    if (a.trim_len_edge > 0) {
       // homopolymer extension over raw nibbles (as _read_trims does)
       while (qstart > 0 && qstart < lq && nib[qstart] == nib[qstart - 1])
         qstart++;
       while (qend >= 0 && qend < lq - 1 && nib[qend] == nib[qend + 1]) qend--;
     }
 
-    long long pos = rpos[r];
+    long long pos = a.rpos[r];
     long long qpos = 0;
     int kmer = 0;
     int lastcig = CINS;
@@ -111,17 +117,18 @@ long long npt_pileup_sgs(
             if (lastcig != CINS && pos > start &&
                 (qpos > qstart || (qpos == qstart && lastcig == CDEL))) {
               // pass-through DEL padding of the previous anchor's slots
-              const long long a = pos - 1 - start;
-              const long long cell = cell_of[a];
-              const long long il = ins_len[a];
+              const long long an = pos - 1 - start;
+              const long long cell = a.cell_of[an];
+              const long long il = a.ins_len[an];
               for (long long k = 0; k < il; k++) {
                 kmer = kshift(kmer, SYM_DEL);
                 acc.add(cell + 1 + k, kmer);
               }
             }
-            const int sym = (op == CDEL) ? SYM_DEL : NIB2SYM[nib[qpos] & 0xF];
+            const int sym =
+                (op == CDEL) ? SYM_DEL : NIB2SYM[nib[qpos] & 0xF];
             kmer = kshift(kmer, sym);
-            acc.add(cell_of[pos - start], kmer);
+            acc.add(a.cell_of[pos - start], kmer);
           }
           if (op != CDEL) qpos++;
           pos++;
@@ -129,10 +136,10 @@ long long npt_pileup_sgs(
         }
       } else if (op == CINS) {
         if (pos) {
-          const long long a = pos - 1 - start;
+          const long long an = pos - 1 - start;
           const bool inr = (pos > start && pos <= end);
-          const long long il = inr ? ins_len[a] : 0;
-          const long long cell = inr ? cell_of[a] : 0;
+          const long long il = inr ? a.ins_len[an] : 0;
+          const long long cell = inr ? a.cell_of[an] : 0;
           for (long long j = 0; j < ln; j++) {
             // the j < il clip mirrors expand_reads' slot-count guard
             if (inr && qpos >= qstart && qpos <= qend && j < il) {
@@ -156,14 +163,105 @@ long long npt_pileup_sgs(
       } else if (op == CSOFT || op == CHARD) {
         qpos += ln;
       }
-      if (pos > end) break;
+      // insertions anchored at pos_hi+1-1 == pos_hi are still owned, so
+      // the walk may stop only once pos exceeds pos_hi+1
+      if (pos > end || pos > pos_hi + 1) break;
     }
   }
+}
 
-  // compact + self-clean: dirty holds exactly the nonzero keys; the rank in
-  // the low 9 bits is unique per key so sorting packed values sorts by key
-  std::sort(acc.dirty.begin(), acc.dirty.end());
-  const long long nnz = (long long)acc.dirty.size();
+}  // namespace
+
+extern "C" {
+
+// Accumulate the pileup of the selected reads (+ optional contig-as-read)
+// into counts[n_cells*512] / totals[n_cells].  `counts` must be all-zero on
+// entry; this function restores it to all-zero before returning (the caller
+// keeps one persistent scratch buffer — no per-call zeroing of the full
+// table).  Emits the sorted nonzero (key, count, first-observation rank)
+// triples via out_uk/out_cn/out_rk (malloc'd; free with npt_cns_free).
+// `max_span` = an upper bound on any read's reference span (used to bound
+// the binary-searched per-thread read subranges); n_threads <= 0 means one
+// thread per hardware core.  Returns nnz, or -1 on bad input.
+long long npt_pileup_sgs(
+    const int64_t *ridx, long long n_sel, const int32_t *rpos,
+    const uint32_t *cigar, const int64_t *cigar_off, const int32_t *cigar_len,
+    const uint8_t *seq_nib, const int64_t *seq_off, const int32_t *lqseq,
+    long long start, long long end, const int64_t *cell_of,
+    const int64_t *ins_len, long long n_cells, long long n_dp,
+    const int32_t *refkmer, int trim_len_edge, long long max_span,
+    int n_threads, uint16_t *counts, int32_t *totals, int64_t **out_uk,
+    int64_t **out_cn, int64_t **out_rk) {
+  if (end < start || n_cells <= 0) return -1;
+  const long long width = end - start + 1;
+  std::vector<uint16_t> cellrank((size_t)n_cells, 0);
+
+  int T = n_threads > 0 ? n_threads
+                        : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if ((long long)T > width) T = (int)width;
+  if (n_sel < 4096) T = 1;  // threading overhead beats tiny workloads
+
+  WalkArgs wa{ridx,    n_sel,   rpos,    cigar, cigar_off, cigar_len,
+              seq_nib, seq_off, lqseq,   start, end,       cell_of,
+              ins_len, n_dp,    refkmer, trim_len_edge};
+
+  std::vector<Acc> accs;
+  accs.reserve(T);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; t++) {
+    // position range [ps, pe]; owned cells [cell_of[ps], cell_of[pe+1])
+    const long long ps = start + width * t / T;
+    const long long pe = start + width * (t + 1) / T - 1;
+    const long long clo = cell_of[ps - start];
+    const long long chi =
+        (pe == end) ? n_cells
+                    : cell_of[pe + 1 - start];
+    accs.push_back(Acc{counts, totals, cellrank.data(), clo, chi, {}});
+    accs.back().dirty.reserve(4096 + 3 * (size_t)(chi - clo));
+  }
+  for (int t = 0; t < T; t++) {
+    const long long ps = start + width * t / T;
+    const long long pe = start + width * (t + 1) / T - 1;
+    Acc *acc = &accs[t];
+    auto job = [&wa, acc, ps, pe, rpos, ridx, n_sel, max_span, n_dp]() {
+      // contig-as-read (lib/contig.c:373-383): one emission per DP cell —
+      // first, so its kmer ranks precede every read's (contig_as_read runs
+      // before contig_parse_region, lib/contig.c:714-716)
+      if (wa.refkmer) {
+        const long long dlo = std::max(acc->lo, 0LL);
+        const long long dhi = std::min(acc->hi, n_dp);
+        for (long long c = dlo; c < dhi; c++)
+          acc->add(c, wa.refkmer[c] & 0x1FF);
+      }
+      // reads that can reach [ps, pe]: pos in [ps - max_span, pe + 1]
+      // (pos == pe+1 can anchor a leading insertion at pe)
+      const long long plo = ps - max_span;
+      long long s_lo = 0, s_hi = n_sel;
+      {
+        long long a = 0, b = n_sel;
+        while (a < b) {
+          const long long m = (a + b) / 2;
+          if (rpos[ridx[m]] < plo) a = m + 1; else b = m;
+        }
+        s_lo = a;
+        a = s_lo; b = n_sel;
+        while (a < b) {
+          const long long m = (a + b) / 2;
+          if (rpos[ridx[m]] <= pe + 1) a = m + 1; else b = m;
+        }
+        s_hi = a;
+      }
+      walk(wa, *acc, s_lo, s_hi, pe);
+      std::sort(acc->dirty.begin(), acc->dirty.end());
+    };
+    if (t == T - 1) job();
+    else threads.emplace_back(job);
+  }
+  for (auto &th : threads) th.join();
+
+  long long nnz = 0;
+  for (auto &a : accs) nnz += (long long)a.dirty.size();
   int64_t *uk = (int64_t *)malloc(sizeof(int64_t) * (nnz ? nnz : 1));
   int64_t *cn = (int64_t *)malloc(sizeof(int64_t) * (nnz ? nnz : 1));
   int64_t *rk = (int64_t *)malloc(sizeof(int64_t) * (nnz ? nnz : 1));
@@ -171,15 +269,22 @@ long long npt_pileup_sgs(
     free(uk);
     free(cn);
     free(rk);
-    for (int64_t packed : acc.dirty) counts[packed >> 9] = 0;
+    for (auto &a : accs)
+      for (int64_t packed : a.dirty) counts[packed >> 9] = 0;
     return -1;
   }
-  for (long long i = 0; i < nnz; i++) {
-    const int64_t key = acc.dirty[i] >> 9;
-    uk[i] = key;
-    cn[i] = counts[key];
-    rk[i] = acc.dirty[i] & 0x1FF;
-    counts[key] = 0;
+  // threads own disjoint ascending cell ranges, so concatenating their
+  // sorted dirty lists yields globally key-sorted output
+  long long i = 0;
+  for (auto &a : accs) {
+    for (int64_t packed : a.dirty) {
+      const int64_t key = packed >> 9;
+      uk[i] = key;
+      cn[i] = counts[key];
+      rk[i] = packed & 0x1FF;
+      counts[key] = 0;
+      i++;
+    }
   }
   *out_uk = uk;
   *out_cn = cn;

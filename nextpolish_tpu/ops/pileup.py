@@ -565,11 +565,13 @@ def _native_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
     mask &= (batch.cigar_len > 0) & (batch.lqseq > 0)
     ridx = np.flatnonzero(mask)
     ref_sym, refkmer = ref_stream(index, contig_nib)
+    span = batch.ref_span()
+    max_span = int(span[ridx].max()) if len(ridx) else 1
     out = native.pileup_sgs(
         ridx, batch.pos, batch.cigar, batch.cigar_off, batch.cigar_len,
         batch.seq, batch.seq_off, batch.lqseq, index.start, index.end,
         index.cell_of, index.ins_len, index.n_cells, index.n_cells_dp,
-        refkmer, trim_len_edge,
+        refkmer, trim_len_edge, max_span=max_span,
     )
     if out is None:
         return None

@@ -216,22 +216,38 @@ def chain_correct(counts, rank, refkmer, total, valid, rate, s0, chunk=CHUNK):
     return _chain_core(counts, rank, refkmer, total, valid, rate, s0, chunk)
 
 
-@partial(jax.jit, static_argnames=("L", "E", "chunk"))
-def chain_correct_packed(buf, L, E, chunk=CHUNK):
+FLAGB_ZERO = 3   # bit of FLAG_ZERO (total == 1) in the packed result byte
+FLAGB_COV = 4    # bit of FLAG_COVERAGE (low chosen-base support)
+
+
+@partial(jax.jit, static_argnames=("L", "E", "TH", "chunk"))
+def chain_correct_packed(buf, L, E, TH, chunk=CHUNK):
     """chain_correct with every input packed into ONE int32 buffer —
     the host<->device link (a tunnel here) has high per-transfer latency, so
     several small arrays cost far more than one concatenated one.
 
-    Layout: [uk(E) | cn(E) | rk(E) | refkmer(L) | total(L) | valid(L) |
-             s0mask, rate] with rate bitcast into the int32 lane."""
+    Layout: [uk(E) | cn(E) | rk(E) | refkmer(L) | total(L) | s0mask, rate,
+             n_dp | th(TH)] with rate bitcast into the int32 lane.
+
+    th is the host-built integer coverage-threshold LUT indexed by
+    min(total, TH-1): cell is FLAG_COVERAGE iff cov < th[total], where the
+    host computed th with the exact f64 arithmetic of the reference's
+    `count / (double)total < ratio` decision (base_get_coverage,
+    lib/base.c:79-89 + lib/contig.c:487) — so the flag computed on device
+    in pure integers is bit-identical to the host/f64 result.
+
+    Returns packed[L] int8: choice | FLAG_ZERO bit 3 | FLAG_COVERAGE bit 4.
+    One byte per cell is all that ever crosses back over the link."""
     uk = buf[:E]
     cn = buf[E:2 * E].astype(jnp.uint16)
     rk = buf[2 * E:3 * E].astype(jnp.uint16)
     rkm = buf[3 * E:3 * E + L]
     total = buf[3 * E + L:3 * E + 2 * L]
-    valid = buf[3 * E + 2 * L:3 * E + 3 * L] != 0
-    s0mask = buf[3 * E + 3 * L]
-    rate = jax.lax.bitcast_convert_type(buf[3 * E + 3 * L + 1], jnp.float32)
+    s0mask = buf[3 * E + 2 * L]
+    rate = jax.lax.bitcast_convert_type(buf[3 * E + 2 * L + 1], jnp.float32)
+    n_dp = buf[3 * E + 2 * L + 2]
+    th = buf[3 * E + 2 * L + 3:3 * E + 2 * L + 3 + TH]
+    valid = jnp.arange(L, dtype=jnp.int32) < n_dp
     s0 = jnp.where((s0mask >> jnp.arange(S)) & 1 != 0, jnp.float32(0.0), NEG)
     # keys are unique and sorted (padding -> a trash slot at L*K3), which
     # lets XLA lower the scatter without serializing the updates
@@ -239,10 +255,17 @@ def chain_correct_packed(buf, L, E, chunk=CHUNK):
         cn, indices_are_sorted=True, unique_indices=True)
     drank = jnp.full((L * K3 + 1,), 0xFFFF, jnp.uint16).at[uk].set(
         rk, indices_are_sorted=True, unique_indices=True)
-    choice, _ = chain_correct(dense[:L * K3].reshape(L, K3),
-                              drank[:L * K3].reshape(L, K3), rkm, total,
-                              valid, rate, s0, chunk=chunk)
-    return choice
+    counts = dense[:L * K3].reshape(L, K3)
+    choice, _ = chain_correct(counts, drank[:L * K3].reshape(L, K3), rkm,
+                              total, valid, rate, s0, chunk=chunk)
+    # chosen-suffix coverage (base_get_coverage numerator)
+    lanes = counts.reshape(L, S * S, S).astype(jnp.int32)
+    cov = jnp.sum(jnp.take_along_axis(
+        lanes, choice.astype(jnp.int32)[:, None, None], axis=2)[..., 0],
+        axis=1)
+    zero = (total == 1).astype(jnp.int8) << FLAGB_ZERO
+    low = (cov < th[jnp.minimum(total, TH - 1)]).astype(jnp.int8) << FLAGB_COV
+    return choice | zero | low
 
 
 def pad_to_chunk(n: int, chunk: int = CHUNK) -> int:
@@ -315,32 +338,59 @@ def run_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
                      chunk: int = CHUNK) -> np.ndarray:
     """Sparse-key host wrapper: uk_in = sorted cell*K3+kmer keys (any cells
     >= n_dp are trimmed), cn_in = counts, rk_in = first-observation ranks."""
-    choice = dispatch_chain_sparse(uk_in, cn_in, rk_in, refkmer, total, n_dp,
-                                   rate, chunk)
-    return np.asarray(choice)[:n_dp]
+    packed = dispatch_chain_sparse(uk_in, cn_in, rk_in, refkmer, total,
+                                   n_dp, rate, chunk=chunk)
+    return np.asarray(packed)[:n_dp] & 7
+
+
+def start_host_copy(dev) -> None:
+    """Begin streaming a device result to the host without blocking.  On a
+    high-RTT backend (the tunneled dev rig) a later np.asarray() then costs
+    ~0 instead of a full round trip; harmless no-op when unsupported."""
+    arrays = dev if isinstance(dev, (tuple, list)) else (dev,)
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            return
+
+
+def coverage_thresholds(maxt: int, ratio: float) -> np.ndarray:
+    """Integer LUT th with `cov < ratio * max(t, 1)` (f64) ⟺ cov < th[t]
+    for integer cov — the FLAG_COVERAGE decision (lib/contig.c:487) as pure
+    integers, so the device needs no f64."""
+    t = np.maximum(np.arange(maxt + 1, dtype=np.int64), 1)
+    return np.ceil(ratio * t).astype(np.int32)
+
+
+# totals beyond the LUT clamp to its last entry; per-kmer counts (and thus
+# cov) saturate at 0xFFFF well before this anyway
+TH_CAP = 1 << 16
 
 
 def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
                           rk_in: np.ndarray, refkmer: np.ndarray,
                           total: np.ndarray, n_dp: int, rate: float,
-                          chunk: int = CHUNK):
-    """Launch the chain DP and return the device array WITHOUT fetching —
-    jax dispatch is async, so the caller can overlap host work (the next
-    contig's pileup) with the device scan, then np.asarray() the result."""
+                          cov_ratio: float = 0.8, chunk: int = CHUNK):
+    """Launch the chain DP and return the packed per-cell result byte
+    (choice | flags — see chain_correct_packed) as a device array WITHOUT
+    fetching — jax dispatch is async, so the caller can overlap host work
+    (the next contig's pileup) with the device scan, then np.asarray() the
+    result."""
     L = pad_to_chunk(max(n_dp, 1), chunk)
     rkm = np.zeros(L, dtype=np.int32)
     rkm[:n_dp] = refkmer[:n_dp]
     t = np.zeros(L, dtype=np.int32)
     t[:n_dp] = total[:n_dp]
-    v = np.zeros(L, dtype=bool)
-    v[:n_dp] = True
     hi = np.searchsorted(uk_in, n_dp * K3)
     nz = uk_in[:hi]
     E = _pow2(max(len(nz), 1))
     k0 = nz[: int(np.searchsorted(nz, K3))]
     s0mask = 1 | int(np.bitwise_or.reduce(
         1 << np.unique((k0 >> 3) & 7))) if len(k0) else 1
-    buf = np.zeros(3 * E + 3 * L + 2, dtype=np.int32)
+    maxt = int(t.max()) if n_dp else 1
+    TH = _pow2(min(maxt + 1, TH_CAP))
+    buf = np.zeros(3 * E + 2 * L + 3 + TH, dtype=np.int32)
     buf[:E] = L * K3  # pad keys target the trash slot past the dense array
     buf[: len(nz)] = nz
     buf[E : E + len(nz)] = np.minimum(cn_in[:hi], np.iinfo(np.uint16).max)
@@ -348,10 +398,11 @@ def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
     buf[2 * E + len(nz) : 3 * E] = 0xFFFF
     buf[3 * E : 3 * E + L] = rkm
     buf[3 * E + L : 3 * E + 2 * L] = t
-    buf[3 * E + 2 * L : 3 * E + 3 * L] = v
-    buf[3 * E + 3 * L] = s0mask
-    buf[3 * E + 3 * L + 1] = np.float32(rate).view(np.int32)
-    return chain_correct_packed(buf, L, E, chunk=chunk)
+    buf[3 * E + 2 * L] = s0mask
+    buf[3 * E + 2 * L + 1] = np.float32(rate).view(np.int32)
+    buf[3 * E + 2 * L + 2] = n_dp
+    buf[3 * E + 2 * L + 3:] = coverage_thresholds(TH - 1, cov_ratio)
+    return chain_correct_packed(buf, L, E, TH, chunk=chunk)
 
 
 def slow_fg(A: np.ndarray, s0: np.ndarray):

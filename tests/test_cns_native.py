@@ -97,3 +97,43 @@ def test_native_poa_matches_python(seed):
                 s = np.insert(s, p, rng.integers(0, 4))
         seqs.append(bytes(b"ATGC"[int(c)] for c in s) or b"A")
     assert native.poa_consensus(seqs) == poa_to_consensus(seqs)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_native_prepare_matches_numpy(seed):
+    """cns_prepare must reproduce build_edges + densify_window exactly."""
+    from nextpolish_tpu.models.cns.device_dp import (MAX_E, MAX_VB,
+                                                     densify_window)
+    from nextpolish_tpu.models.cns.msa import build_edges
+
+    rng = np.random.default_rng(100 + seed)
+    cols, coverage, L = _random_cols(rng, L=600, n_rows=40)
+    edges = build_edges(cols)
+    dw = densify_window(edges, coverage, L)
+    out = native.cns_prepare(cols.t_pos, cols.delta, cols.q_base,
+                             cols.row_off, coverage, L, MAX_E, MAX_VB)
+    assert out is not None
+    ed, dn = out
+    assert np.array_equal(ed["cur"], edges.cur)
+    assert np.array_equal(ed["pp"], edges.pp)
+    assert np.array_equal(ed["ppp"], edges.ppp)
+    assert np.array_equal(ed["link"], edges.link)
+    assert np.array_equal(ed["ins"], edges.ins)
+    assert np.array_equal(ed["tag_key"], edges.tag_key)
+    assert np.array_equal(ed["tag_off"], edges.tag_off)
+    if dw is None:
+        assert dn is None
+        return
+    assert dn is not None
+    assert dn["n_levels"] == dw.n_levels
+    assert dn["E"] == dw.E
+    assert dn["Vb"] == dw.Vb
+    assert np.array_equal(dn["level_pos"], dw.level_pos)
+    assert np.array_equal(dn["meta"], dw.meta)
+    assert np.array_equal(dn["ent_lvl"], dw.ent_lvl)
+    assert np.array_equal(dn["ent_b"], dw.ent_b)
+    assert np.array_equal(dn["ent_slot"], dw.ent_slot)
+    assert np.array_equal(dn["ent_A"], dw.ent_A)
+    assert np.array_equal(dn["ent_M"], dw.ent_M)
+    assert np.array_equal(dn["ent_same"], dw.ent_same)
+    assert np.array_equal(dn["eorder"], dw.eorder)
