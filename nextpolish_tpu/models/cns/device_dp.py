@@ -50,6 +50,13 @@ F_PPB_NOT_GAP = 16  # tie upgrade: entry's pp base is not a gap
 
 READ_TYPE_ID = {"ont": 0, "clr": 1, "rs": 2, "hifi": 3}
 
+
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
 # caps beyond which densify refuses (fallback to the host paths):
 # match bits live in an int32 word, the ring slot in a 6-bit meta field
 MAX_E = 24
@@ -343,6 +350,7 @@ def _scan_packed(A, M, meta, *, E, Vb, rt_id, cov_coef):
 
 
 _JITTED = {}
+_PALLAS_WARNED = False
 
 
 def _get_scan(E, Vb, rt_id, cov_coef):
@@ -360,12 +368,99 @@ def _get_scan(E, Vb, rt_id, cov_coef):
     return fn
 
 
-def _run_batch(dws, read_type, cov_coef=None, mesh=None):
+def _use_pallas() -> bool:
+    """The pallas level-scan kernel runs on real TPU backends; CPU (tests,
+    virtual meshes) uses the lax.scan path.  NPT_CNS_PALLAS=0/1 forces."""
+    import os
+
+    env = os.environ.get("NPT_CNS_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _run_batch_pallas(dws, read_type, cov_coef=None, sc_tail=False):
+    """Pallas-kernel scans over DenseWindows (compact entry streams over
+    the wire; e-major packing — see pallas_scan.py).  All windows are
+    dispatched before any result is fetched, so the device pipelines them.
+
+    With sc_tail=True, only the last position's levels of the score output
+    cross back (all a traceback needs); earlier levels read NEG."""
+    from .pallas_scan import CL, NEG, get_level_scan
+
+    rt_id = READ_TYPE_ID[read_type]
+    c = COV_COEF[read_type] if cov_coef is None else cov_coef
+    E = min(x for x in (8, 12, 16, 20, 24)
+            if x >= max(dw.E for dw in dws))
+    Vb = min(x for x in (8, 16, 24)
+             if x >= max(dw.Vb for dw in dws))
+    pend = []
+    for dw in dws:
+        Lt = dw.n_levels
+        NCL = -(-Lt // CL) * CL
+        col = dw.ent_slot.astype(np.int32) * 6 + dw.ent_b  # e-major
+        adv = np.ones(len(col), dtype=np.uint8)
+        adv[1:] = (dw.ent_lvl[1:] != dw.ent_lvl[:-1]).astype(np.uint8)
+        P = _pow2(max(len(col), 1))
+        ent8 = np.full(P, 127, dtype=np.uint8)  # pad -> trash column
+        ent8[: len(col)] = (adv << 7) | col.astype(np.uint8)
+        a = dw.ent_A
+        if Vb != dw.Vb:
+            a = a + (dw.ent_same.astype(np.int32) * ((Vb - dw.Vb) * 6)
+                     << 8)
+        entA = np.zeros(P, dtype=np.int32)
+        entA[: len(col)] = a
+        entM = np.zeros(P, dtype=np.int32)
+        entM[: len(col)] = dw.ent_M
+        meta = np.ones(NCL, dtype=np.int32)  # pad bit set
+        meta[:Lt] = dw.meta
+        fn = get_level_scan(E, Vb, rt_id, c, NCL, P)
+        best_d, sc_d = fn(ent8, entA, entM, meta)
+        try:
+            best_d.copy_to_host_async()
+        except AttributeError:
+            pass
+        pend.append((dw, Lt, best_d, sc_d))
+    out = []
+    for dw, Lt, best_d, sc_d in pend:
+        best = np.asarray(best_d)[:Lt]
+        if sc_tail:
+            lp = dw.level_pos
+            l0 = int(np.searchsorted(lp, lp[-1]))
+            sc = np.full((Lt, 6), NEG, dtype=np.int32)
+            sc[l0:] = np.asarray(sc_d[l0:Lt])
+        else:
+            sc = np.asarray(sc_d)[:Lt]
+        out.append((best, sc))
+    return out
+
+
+def _run_batch(dws, read_type, cov_coef=None, mesh=None, sc_tail=False):
     """Run the scan over a batch of DenseWindows; returns per-window
     (best [Lt,6], sc_bm [Lt,6]) numpy arrays.  With `mesh`, the batch
     axis is sharded over every mesh axis (window data parallelism — the
-    TPU analog of blc_genome's contig blocks)."""
+    TPU analog of blc_genome's contig blocks).  On a TPU backend the scan
+    runs as pallas launches (pallas_scan.py); the chunked lax.scan is
+    the fallback and the parity oracle (it always returns full sc)."""
     import jax
+
+    if mesh is None and _use_pallas():
+        try:
+            return _run_batch_pallas(dws, read_type, cov_coef,
+                                     sc_tail=sc_tail)
+        except Exception as e:  # fall through to the lax.scan path
+            global _PALLAS_WARNED
+            if not _PALLAS_WARNED:
+                _PALLAS_WARNED = True
+                import warnings
+
+                warnings.warn(f"pallas level scan unavailable ({e!r}); "
+                              "using lax.scan")
 
     rt_id = READ_TYPE_ID[read_type]
     c = COV_COEF[read_type] if cov_coef is None else cov_coef
@@ -491,7 +586,9 @@ def cns_dp_device_batch(items, read_type, min_cov, lq_min_qv):
     todo = [i for i, dw in enumerate(denses) if dw is not None]
     out = [None] * len(denses)
     if todo:
-        results = _run_batch([denses[i] for i in todo], read_type)
+        # sc_tail: the traceback only reads the last position's scores
+        results = _run_batch([denses[i] for i in todo], read_type,
+                             sc_tail=True)
         for i, (best, sc_bm) in zip(todo, results):
             dw = denses[i]
             edges, coverage, length = metas[i]

@@ -125,3 +125,20 @@ def test_device_dp_deep_insertion_chain():
     score_np, best_np = link_dp(edges, coverage, "ont")
     score_dev, best_dev = device_link_dp(dw, "ont")
     assert np.array_equal(best_np, best_dev)
+
+
+@pytest.mark.parametrize("rt", ["ont", "clr", "rs", "hifi"])
+def test_pallas_scan_matches_lax_scan(ont_window, rt, monkeypatch):
+    """The pallas level-scan kernel (interpret mode on CPU) must equal the
+    chunked lax.scan path bit for bit."""
+    from nextpolish_tpu.models.cns import device_dp as dd
+
+    edges, coverage, L = ont_window
+    dw = densify_window(edges, coverage, L)
+    assert dw is not None
+    monkeypatch.setenv("NPT_CNS_PALLAS", "0")
+    (ref,) = dd._run_batch([dw], rt)
+    out = dd._run_batch_pallas([dw], rt)
+    (pal,) = out
+    assert np.array_equal(ref[0], pal[0])
+    assert np.array_equal(ref[1], pal[1])
