@@ -402,7 +402,9 @@ def _run_batch_pallas(dws, read_type, cov_coef=None, sc_tail=False):
     pend = []
     for dw in dws:
         Lt = dw.n_levels
-        NCL = -(-Lt // CL) * CL
+        # pow2 chunk-count buckets: jit shapes come from a small set, so
+        # windows of any length reuse the same compiled kernel
+        NCL = _pow2(-(-Lt // CL)) * CL
         col = dw.ent_slot.astype(np.int32) * 6 + dw.ent_b  # e-major
         adv = np.ones(len(col), dtype=np.uint8)
         adv[1:] = (dw.ent_lvl[1:] != dw.ent_lvl[:-1]).astype(np.uint8)

@@ -78,8 +78,13 @@ def window_prep(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
     ctg_cns_core before the link DP.  Returns a WindowWork for
     window_dp/window_dp_batch + window_repair."""
     L = e - s
-    accum = WindowAccum(contig_ascii, s, e, GAP_MIN_LEN[read_type])
     brk_g = struct_ctx is not None and struct_ctx.brk_g
+    if not brk_g:
+        work = _window_prep_native(batch, tid, contig_ascii, s, e,
+                                   read_type, contig_name)
+        if work is not None:
+            return work
+    accum = WindowAccum(contig_ascii, s, e, GAP_MIN_LEN[read_type])
     has_tags = batch.tags is not None
     max_clip = MAX_CLIP_RATIO[read_type]
     # window 0 extends the fetch so the depth track can sample 15 Mb
@@ -188,6 +193,62 @@ def window_prep(batch: AlnBatch, tid: int, contig_ascii: np.ndarray,
     coverage = accum.coverage[:L] + 1
     return WindowWork(merged, coverage, L, accum.l_ins, accum.l_del,
                       clusters)
+
+
+def _window_prep_native(batch: AlnBatch, tid: int,
+                        contig_ascii: np.ndarray, s: int, e: int,
+                        read_type: str, contig_name: str):
+    """Non-structural window prep through the native single-pass tag
+    walker (cns_tags.cpp); returns None to fall back to the python loop
+    (which is the oracle it is tested against)."""
+    from ... import native
+
+    if not native.available():
+        return None
+    from .tags import ASCII_TO_CNS, TagColumns, reference_row
+
+    L = e - s
+    m = region_overlap_mask(batch, tid, s, max(e - 1, s))
+    m &= (batch.flag & 0xD04) == 0
+    m &= batch.lqseq > 0
+    ridx = np.flatnonzero(m)
+    # clip filter with the split-read gap-candidate bypass
+    left, right = batch.clip_lens()
+    lq = batch.lqseq[ridx].astype(np.int64)
+    rd_s = left[ridx].astype(np.int32)
+    rd_e = (lq - right[ridx]).astype(np.int32)
+    pass_clip = (rd_e - rd_s) / lq > MAX_CLIP_RATIO[read_type]
+    if batch.tags is not None and not pass_clip.all():
+        for i in np.flatnonzero(~pass_clip):
+            g = st.read_gap_candidate(batch, int(ridx[i]), contig_name)
+            if g.score:
+                pass_clip[i] = True
+    sel = ridx[pass_clip]
+    rd_s = rd_s[pass_clip]
+    rd_e = rd_e[pass_clip]
+    out = native.cns_tags(
+        sel, batch.pos, batch.cigar, batch.cigar_off, batch.cigar_len,
+        batch.seq, batch.seq_off, batch.lqseq, rd_s, rd_e,
+        ASCII_TO_CNS[contig_ascii[s:e]], s, e,
+        gap_min_len=GAP_MIN_LEN[read_type])
+    if out is None:
+        return None
+    # assemble the merged TagColumns with the reference row first
+    # (WindowAccum seeds the MSA with the draft, lib/ctg_cns.c:3457-3468)
+    rt, rd, rq = reference_row(contig_ascii, s, e)
+    t_pos = np.concatenate([rt, out["t_pos"]])
+    delta = np.concatenate([rd, out["delta"]])
+    q_base = np.concatenate([rq, out["q_base"]])
+    row_off = np.concatenate([[0], out["row_off"] + L])
+    lens = np.diff(row_off)
+    read_of = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
+    merged = TagColumns(
+        read_of, t_pos, delta, q_base, row_off.astype(np.int64),
+        np.concatenate([[0], out["aln_s"]]).astype(np.int32),
+        np.concatenate([[L - 1], out["aln_e"]]).astype(np.int32),
+        np.concatenate([[-1], sel[out["keep"]]]).astype(np.int64))
+    coverage = out["coverage"][:L] + 1
+    return WindowWork(merged, coverage, L, out["l_ins"], out["l_del"], [])
 
 
 @dataclass

@@ -51,6 +51,8 @@ def _load():
     if hasattr(lib, "npt_cns_prepare"):
         lib.npt_cns_prepare.restype = ctypes.POINTER(_NptCnsPrep)
         lib.npt_cns_prep_free.restype = None
+    if hasattr(lib, "npt_cns_tags"):
+        lib.npt_cns_tags.restype = ctypes.c_longlong
     _LIB = lib
     return _LIB
 
@@ -323,6 +325,77 @@ def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
             if ptr:
                 lib.npt_cns_free(ptr)
     return uk, cn, rk.astype(np.uint16), totals
+
+
+def cns_tags(sel, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
+             lqseq, rd_s, rd_e, ref_cns_win, win_s: int, win_e: int,
+             anchor_k: int = 8, min_span: int = 500, gap_min_len: int = 3):
+    """Native per-window tag expansion (cns_tags.cpp): the selected reads'
+    bam2aln + anchor trim + accumulation in one pass.  Returns a dict of
+    row/track arrays or None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "npt_cns_tags"):
+        return None
+    L = win_e - win_s
+    sel = np.ascontiguousarray(sel, dtype=np.int64)
+    rpos = np.ascontiguousarray(rpos, dtype=np.int32)
+    cigar = np.ascontiguousarray(cigar, dtype=np.uint32)
+    cigar_off = np.ascontiguousarray(cigar_off, dtype=np.int64)
+    cigar_len = np.ascontiguousarray(cigar_len, dtype=np.int32)
+    seq_nib = np.ascontiguousarray(seq_nib, dtype=np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, dtype=np.int64)
+    lqseq = np.ascontiguousarray(lqseq, dtype=np.int32)
+    rd_s = np.ascontiguousarray(rd_s, dtype=np.int32)
+    rd_e = np.ascontiguousarray(rd_e, dtype=np.int32)
+    ref_cns_win = np.ascontiguousarray(ref_cns_win, dtype=np.uint8)
+    keep = np.zeros(max(len(sel), 1), dtype=np.uint8)
+    q_s = np.zeros(max(len(sel), 1), dtype=np.int32)
+    coverage = np.zeros(L + 1, dtype=np.int32)
+    l_ins = np.zeros(L, dtype=np.int32)
+    l_del = np.zeros(L, dtype=np.int32)
+    max_delta = np.zeros(L, dtype=np.int32)
+    out_t = ctypes.POINTER(ctypes.c_int32)()
+    out_d = ctypes.POINTER(ctypes.c_int16)()
+    out_q = ctypes.POINTER(ctypes.c_uint8)()
+    out_roff = ctypes.POINTER(ctypes.c_int64)()
+    out_as = ctypes.POINTER(ctypes.c_int32)()
+    out_ae = ctypes.POINTER(ctypes.c_int32)()
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    n_rows = lib.npt_cns_tags(
+        p(sel), ctypes.c_longlong(len(sel)), p(rpos), p(cigar), p(cigar_off),
+        p(cigar_len), p(seq_nib), p(seq_off), p(lqseq), p(rd_s), p(rd_e),
+        p(ref_cns_win), ctypes.c_longlong(win_s), ctypes.c_longlong(win_e),
+        ctypes.c_int(anchor_k), ctypes.c_int(min_span),
+        ctypes.c_int(gap_min_len), p(keep), p(q_s), p(coverage), p(l_ins),
+        p(l_del), p(max_delta), ctypes.byref(out_t), ctypes.byref(out_d),
+        ctypes.byref(out_q), ctypes.byref(out_roff), ctypes.byref(out_as),
+        ctypes.byref(out_ae))
+    if n_rows < 0:
+        return None
+    try:
+        roff = np.ctypeslib.as_array(out_roff, shape=(n_rows + 1,)).copy()
+        T = int(roff[-1])
+        t = np.ctypeslib.as_array(out_t, shape=(T,)).copy() if T else \
+            np.empty(0, np.int32)
+        d = np.ctypeslib.as_array(out_d, shape=(T,)).copy() if T else \
+            np.empty(0, np.int16)
+        q = np.ctypeslib.as_array(out_q, shape=(T,)).copy() if T else \
+            np.empty(0, np.uint8)
+        aln_s = (np.ctypeslib.as_array(out_as, shape=(n_rows,)).copy()
+                 if n_rows else np.empty(0, np.int32))
+        aln_e = (np.ctypeslib.as_array(out_ae, shape=(n_rows,)).copy()
+                 if n_rows else np.empty(0, np.int32))
+    finally:
+        for ptr in (out_t, out_d, out_q, out_roff, out_as, out_ae):
+            if ptr:
+                lib.npt_cns_free(ptr)
+    return dict(t_pos=t, delta=d, q_base=q, row_off=roff, aln_s=aln_s,
+                aln_e=aln_e, keep=keep[: len(sel)].astype(bool),
+                q_s=q_s[: len(sel)], coverage=coverage, l_ins=l_ins,
+                l_del=l_del, max_delta=max_delta)
 
 
 def poa_consensus(seqs):

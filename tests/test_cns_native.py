@@ -137,3 +137,34 @@ def test_native_prepare_matches_numpy(seed):
     assert np.array_equal(dn["ent_M"], dw.ent_M)
     assert np.array_equal(dn["ent_same"], dw.ent_same)
     assert np.array_equal(dn["eorder"], dw.eorder)
+
+
+@pytest.mark.parametrize("read_type", ["ont", "hifi"])
+def test_native_window_prep_matches_python(read_type, monkeypatch):
+    """The native tag walker fast path must produce the same WindowWork
+    as the python per-read loop."""
+    import nextpolish_tpu.models.cns.window as W
+    from test_cns import _make_batch, _noisy
+    from util_sim import rand_seq
+
+    rng = np.random.default_rng(21)
+    true = rand_seq(rng, 12000)
+    draft = bytes(_noisy(rng, true, 0.01, 0.01, 0.01))
+    batch, _ = _make_batch(rng, true, draft, n_reads=80, err=0.05)
+    ca = np.frombuffer(draft.upper(), dtype=np.uint8)
+    fast = W._window_prep_native(batch, 0, ca, 0, len(draft), read_type,
+                                 "ctg")
+    assert fast is not None
+    monkeypatch.setattr(W, "_window_prep_native",
+                        lambda *a, **k: None)
+    slow = W.window_prep(batch, 0, ca, 0, len(draft), read_type)
+    assert np.array_equal(fast.merged.t_pos, slow.merged.t_pos)
+    assert np.array_equal(fast.merged.delta, slow.merged.delta)
+    assert np.array_equal(fast.merged.q_base, slow.merged.q_base)
+    assert np.array_equal(fast.merged.row_off, slow.merged.row_off)
+    assert np.array_equal(fast.merged.aln_t_s, slow.merged.aln_t_s)
+    assert np.array_equal(fast.merged.aln_t_e, slow.merged.aln_t_e)
+    assert np.array_equal(fast.merged.ridx, slow.merged.ridx)
+    assert np.array_equal(fast.coverage, slow.coverage)
+    assert np.array_equal(fast.l_ins, slow.l_ins)
+    assert np.array_equal(fast.l_del, slow.l_del)
