@@ -268,6 +268,7 @@ def main():
     rng = np.random.default_rng(0)
     have_ref = ensure_refbuild()
     tmp = tempfile.mkdtemp(prefix="npt_bench_")
+    from nextpolish_tpu.runtime import trace
 
     # ---- task 1 -------------------------------------------------------
     names, trues, batch, n_reads = make_task1_case(rng)
@@ -278,18 +279,31 @@ def main():
 
     cfg = AlgoConfig()
 
-    def run_all():
-        return list(score_chain_pipeline(zip(names, trues), batch, cfg))
+    def run_some(k):
+        return list(score_chain_pipeline(zip(names[:k], trues[:k]), batch,
+                                         cfg))
 
-    polished = run_all()  # compile pass
+    polished = run_some(len(names))  # compile pass
     for (_, seq), true in zip(polished, trues):
         assert abs(len(seq) - len(true)) < len(true) * 0.01
+    # batch-scaling curve (contigs per run; proxy for the two-host
+    # ≥0.8-efficiency target on a rig with one real chip)
+    scaling = {}
+    for k in (1, 2, 4):
+        d = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run_some(k)
+            d = min(d, time.time() - t0)
+        scaling[k] = round(n_reads * k / len(names) / d, 1)
+    trace.reset("task1")
     dt = float("inf")
     for _ in range(3):
         t0 = time.time()
-        run_all()
+        run_some(len(names))
         dt = min(dt, time.time() - t0)
     t1_reads_per_s = n_reads / dt
+    t1_trace = trace.snapshot("task1")
 
     ref1 = measure_ref_task1(names, trues, batch,
                              os.path.join(tmp, "t1")) if have_ref else None
@@ -313,16 +327,33 @@ def main():
     out5 = run_cns()  # compile pass
     assert sum(len(s) for _, s in out5) > 0.9 * sum(
         len(d) for d in drafts5)
+    trace.reset("cns")
     dt5 = float("inf")
     for _ in range(2):
         t0 = time.time()
         run_cns()
         dt5 = min(dt5, time.time() - t0)
     t5_bases_per_s = sum(len(d) for d in drafts5) / dt5
+    t5_trace = trace.snapshot("cns")
+    # the host C++ engine number alongside the device path
+    os.environ["NPT_CNS_ENGINE"] = "native"
+    run_cns()
+    t0 = time.time()
+    run_cns()
+    t5_native = sum(len(d) for d in drafts5) / (time.time() - t0)
+    os.environ["NPT_CNS_ENGINE"] = "device"
 
     ref5 = measure_ref_task5(names5, drafts5, batch5,
                              os.path.join(tmp, "t5")) if have_ref else None
     vs_t5_core = (t5_bases_per_s / ref5) if ref5 else None
+
+    def split(tr, wait_key):
+        """host/device-wait seconds + host-busy fraction from the trace."""
+        host = sum(v["s"] for k, v in tr.items() if k.endswith(".host"))
+        wait = sum(v["s"] for k, v in tr.items() if wait_key in k)
+        tot = host + wait
+        return {"host_s": round(host, 2), "device_wait_s": round(wait, 2),
+                "host_busy_frac": round(host / tot, 2) if tot else None}
 
     print(json.dumps({
         "metric": "task1_polish_reads_per_s_per_chip",
@@ -331,9 +362,13 @@ def main():
         "vs_baseline": round(vs_t1, 3),
         "ref_measured": ref1 is not None,
         "ref_task1_reads_per_s_core": round(ref1, 1) if ref1 else None,
+        "task1_scaling_reads_per_s_by_contigs": scaling,
+        "task1_time_split": split(t1_trace, ".wait"),
         "task5_bases_per_s_per_chip": round(t5_bases_per_s, 1),
+        "task5_bases_per_s_native_engine": round(t5_native, 1),
         "ref_task5_bases_per_s_core": round(ref5, 1) if ref5 else None,
         "task5_vs_ref_core": round(vs_t5_core, 2) if vs_t5_core else None,
+        "task5_time_split": split(t5_trace, ".dp"),
         "cns_engine": os.environ.get("NPT_CNS_ENGINE"),
     }))
 

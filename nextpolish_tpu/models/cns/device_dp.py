@@ -399,8 +399,20 @@ def _run_batch_pallas(dws, read_type, cov_coef=None, sc_tail=False):
             if x >= max(dw.E for dw in dws))
     Vb = min(x for x in (8, 16, 24)
              if x >= max(dw.Vb for dw in dws))
+    import jax
+
+    # window-level device parallelism: round-robin windows over every
+    # local chip (windows are the reference's batch axis,
+    # lib/ctg_cns.c:3455-3594; chips take the place of worker processes).
+    # CPU keeps one device unless the multi-device test forces it.
+    import os as _os
+
+    devices = jax.devices()
+    if jax.default_backend() == "cpu" and \
+            _os.environ.get("NPT_MULTIDEV") != "1":
+        devices = devices[:1]
     pend = []
-    for dw in dws:
+    for wi, dw in enumerate(dws):
         Lt = dw.n_levels
         # pow2 chunk-count buckets: jit shapes come from a small set, so
         # windows of any length reuse the same compiled kernel
@@ -422,6 +434,10 @@ def _run_batch_pallas(dws, read_type, cov_coef=None, sc_tail=False):
         meta = np.ones(NCL, dtype=np.int32)  # pad bit set
         meta[:Lt] = dw.meta
         fn = get_level_scan(E, Vb, rt_id, c, NCL, P)
+        if len(devices) > 1:
+            dev = devices[wi % len(devices)]
+            ent8, entA, entM, meta = (
+                jax.device_put(x, dev) for x in (ent8, entA, entM, meta))
         best_d, sc_d = fn(ent8, entA, entM, meta)
         try:
             best_d.copy_to_host_async()

@@ -498,6 +498,8 @@ def consensus_for_contig(batch: AlnBatch, tid: int, contig: bytes,
     lvl_bytes = min(b, length) * 1152
     group = cns_device_batch(lvl_bytes, len(starts))
 
+    from ...runtime import trace
+
     parts = []
     for glo in range(0, len(starts), group):
         works = []
@@ -508,12 +510,17 @@ def consensus_for_contig(batch: AlnBatch, tid: int, contig: bytes,
                 wbatch = fetcher.fetch(tid, s, max(lim - 1, s))
             else:
                 wbatch = batch
-            works.append(window_prep(wbatch, tid, contig_ascii, s, e,
-                                     read_type, struct_ctx, contig_name))
-        cnss = window_dp_batch(works, read_type, min_cov)
-        for (s, e), work, cns in zip(starts[glo:glo + group], works, cnss):
-            if repair:
-                cns = window_repair(work, cns, read_type)
-            parts.append((s, cns))
+            with trace.timed("cns.host"):
+                works.append(window_prep(wbatch, tid, contig_ascii, s, e,
+                                         read_type, struct_ctx,
+                                         contig_name))
+        with trace.timed("cns.dp"):
+            cnss = window_dp_batch(works, read_type, min_cov)
+        with trace.timed("cns.host"):
+            for (s, e), work, cns in zip(starts[glo:glo + group], works,
+                                         cnss):
+                if repair:
+                    cns = window_repair(work, cns, read_type)
+                parts.append((s, cns))
     return stitch(parts, overlap, split=split,
                   split_ps=struct_ctx.split_ps)

@@ -189,7 +189,7 @@ def _apply_correction(state: ContigState, p: pl.Pileup, cell0: int,
 
 
 def score_chain_contig_begin(name: str, draft: bytes, batch: AlnBatch,
-                             cfg: AlgoConfig, levels=None):
+                             cfg: AlgoConfig, levels=None, device=None):
     """Pipelined task-1 entry, stage 1: host pileup + async DP dispatch.
 
     Returns a handle for score_chain_contig_end.  While the device runs
@@ -212,17 +212,23 @@ def score_chain_contig_begin(name: str, draft: bytes, batch: AlnBatch,
     dev = dispatch_chain_sparse(p.uk, p.cn, p.rk, p.refkmer, p.total,
                                 p.index.n_cells_dp,
                                 cfg.indel_balance_factor_sgs,
-                                cov_ratio=cfg.min_count_ratio_skip)
+                                cov_ratio=cfg.min_count_ratio_skip,
+                                device=device)
     return state, p, cell0, dev, cfg, draft
 
 
 def score_chain_contig_end(handle) -> bytes:
     """Pipelined task-1 entry, stage 2: fetch the DP result, apply flags,
     emit the polished sequence."""
+    from ..runtime import trace
+
     state, p, cell0, dev, cfg, draft = handle
-    _finish_correction_sparse(state, p, cell0, dev, cfg)
-    maybe_trace(cfg, state.name, state, draft)
-    return state.emit(FLAG_ZERO | FLAG_COVERAGE)
+    with trace.timed("task1.wait"):
+        packed = np.asarray(dev)
+    with trace.timed("task1.host"):
+        _finish_correction_sparse(state, p, cell0, packed, cfg)
+        maybe_trace(cfg, state.name, state, draft)
+        return state.emit(FLAG_ZERO | FLAG_COVERAGE)
 
 
 def score_chain_contig(name: str, draft: bytes, batch: AlnBatch,
@@ -252,20 +258,40 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
     not the whole BAM."""
     from concurrent.futures import ThreadPoolExecutor
 
+    import jax
+
     from ..ops.tropical import start_host_copy
 
     streaming = hasattr(batch, "fetch")
     shared_levels = None if streaming else pl.filter_sgs_chain(batch)
+    # contig-level device parallelism: round-robin contigs over every
+    # local chip (the reference farms contig blocks across jobs,
+    # source/nextPolish:93-117; here the chips are the blocks).  On CPU
+    # the virtual devices share cores — single-device unless forced
+    # (NPT_MULTIDEV=1, used by the multi-device equality test).
+    import os as _os
+
+    devices = jax.devices()
+    if jax.default_backend() == "cpu" and \
+            _os.environ.get("NPT_MULTIDEV") != "1":
+        devices = devices[:1]
+    n_prep = [0]
+
+    from ..runtime import trace
 
     def prep(name, seq):
-        if streaming:
-            tid = batch.header.name2id(name)
-            cbatch = batch.fetch(tid, 0, max(len(seq) - 1, 0))
-            clevels = pl.filter_sgs_chain(cbatch)
-        else:
-            cbatch, clevels = batch, shared_levels
-        return score_chain_contig_begin(name, seq, cbatch, cfg,
-                                        levels=clevels)
+        with trace.timed("task1.host"):
+            if streaming:
+                tid = batch.header.name2id(name)
+                cbatch = batch.fetch(tid, 0, max(len(seq) - 1, 0))
+                clevels = pl.filter_sgs_chain(cbatch)
+            else:
+                cbatch, clevels = batch, shared_levels
+            dev = devices[n_prep[0] % len(devices)] if len(devices) > 1 \
+                else None
+            n_prep[0] += 1
+            return score_chain_contig_begin(name, seq, cbatch, cfg,
+                                            levels=clevels, device=dev)
 
     from collections import deque
 
@@ -281,10 +307,11 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
             nxt = next(it, None)
             fut = pool.submit(prep, *nxt) if nxt is not None else None
             pending.append((name, h))
-            # depth-3: results are fetched two contigs behind their
-            # dispatch, giving the device scan + host copy two full prep
-            # slots to stream back before anyone blocks on them
-            if len(pending) > 2:
+            # results are fetched >= two contigs behind their dispatch,
+            # giving the device scan + host copy two full prep slots to
+            # stream back before anyone blocks on them; with several
+            # chips the window deepens so every chip holds a contig
+            if len(pending) > max(2, len(devices)):
                 pname, ph = pending.popleft()
                 yield pname, score_chain_contig_end(ph)
         while pending:

@@ -371,12 +371,17 @@ TH_CAP = 1 << 16
 def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
                           rk_in: np.ndarray, refkmer: np.ndarray,
                           total: np.ndarray, n_dp: int, rate: float,
-                          cov_ratio: float = 0.8, chunk: int = CHUNK):
+                          cov_ratio: float = 0.8, chunk: int = CHUNK,
+                          device=None):
     """Launch the chain DP and return the packed per-cell result byte
     (choice | flags — see chain_correct_packed) as a device array WITHOUT
     fetching — jax dispatch is async, so the caller can overlap host work
     (the next contig's pileup) with the device scan, then np.asarray() the
-    result."""
+    result.
+
+    `device` pins the launch (contig-level device parallelism: the
+    pipeline round-robins contigs over jax.devices(), the TPU analog of
+    blc_genome's contig blocks, source/nextPolish:93-117)."""
     L = pad_to_chunk(max(n_dp, 1), chunk)
     rkm = np.zeros(L, dtype=np.int32)
     rkm[:n_dp] = refkmer[:n_dp]
@@ -402,6 +407,10 @@ def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
     buf[3 * E + 2 * L + 1] = np.float32(rate).view(np.int32)
     buf[3 * E + 2 * L + 2] = n_dp
     buf[3 * E + 2 * L + 3:] = coverage_thresholds(TH - 1, cov_ratio)
+    if device is not None:
+        import jax
+
+        buf = jax.device_put(buf, device)
     return chain_correct_packed(buf, L, E, TH, chunk=chunk)
 
 

@@ -203,11 +203,19 @@ class Pipeline:
             batch = self.map_long(genome, kind)
             read_type = (self.cfg.lgs_read_type or "ont") if task == 5 else "hifi"
             from .models.ctg_cns import ctg_cns_contig
+            from .runtime.budget import cns_window_len
 
+            # clamp the consensus window to host memory the way worker2
+            # does (set_window_process role, lib/nextpolish2.py:67-90) —
+            # an oversized contig/coverage run clamps instead of OOMing
+            window, ram_clamped = cns_window_len(read_type)
+            if ram_clamped:
+                log.warning("cns window clamped to %d by available memory",
+                            window)
             # the pipeline driver passes -sp to disable contig splitting
             # between rounds (source/nextPolish:76-83)
             engine = lambda name, seq: ctg_cns_contig(
-                name, seq, batch, read_type, split=0
+                name, seq, batch, read_type, split=0, window=window
             )
         else:
             raise ValueError(f"unknown task {task}")

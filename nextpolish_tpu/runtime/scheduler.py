@@ -76,8 +76,18 @@ class StageRunner:
     history: list = field(default_factory=list)
 
     def stage(self, name: str, fn, subdir: str | None = None):
+        import time as _time
+
+        from .trace import add as trace_add, fmt as trace_fmt
+
         s = Stage(name, subdir or self.workdir, fn, self.rerun)
+        t0 = _time.perf_counter()
         result = s.run()
+        wall = _time.perf_counter() - t0
+        trace_add(f"stage.{name}", wall)
+        # the reference's TIME trace channel (lib/config.c:117-130)
+        engines = trace_fmt("task1") + " " + trace_fmt("cns")
+        log.info("TIME %s wall=%.2fs %s", name, wall, engines.strip())
         self.history.append(name)
         return result
 

@@ -127,7 +127,8 @@ def ref2_lib(ref_lib):
 
 
 @pytest.mark.parametrize("seed,read_type", [(0, "ont"), (3, "ont"),
-                                            (1, "clr"), (2, "hifi")])
+                                            (1, "clr"), (2, "hifi"),
+                                            (4, "rs")])
 def test_ctg_cns_byte_parity(ref2_lib, tmp_path, seed, read_type):
     """Engine-2 consensus must match the reference byte-for-byte
     (including lowercase low-qv marking) on identical BAMs."""
