@@ -357,10 +357,16 @@ class _ColAccum:
         return batch
 
 
-def merge_region_batches(batches: list[AlnBatch]) -> AlnBatch:
+def merge_region_batches(batches: list[AlnBatch], heap_rev: bool = True
+                         ) -> AlnBatch:
     """Merge per-file batches in the reference heap's emission order:
     (tid, pos, reverse-strand, file index, in-file order) — heap_lt,
-    lib/bsort.c:174-199.  Input batches must each be position-sorted."""
+    lib/bsort.c:174-199.  Input batches must each be position-sorted.
+
+    heap_rev=False drops the strand key: (tid, pos, file, order) — the
+    `samtools merge` order the short-read pipeline sees (and the order a
+    stable (tid, pos) sort of chunk-concatenated records produces, so the
+    spilled and in-memory data planes emit identical streams)."""
     if len(batches) == 1:
         return batches[0]
     base = batches[0]
@@ -398,24 +404,39 @@ def merge_region_batches(batches: list[AlnBatch]) -> AlnBatch:
         tags_len=cat("tags_len") if tags_ok else None,
         mtid=cat("mtid"), mpos=cat("mpos"),
     )
-    rev = (merged.flag & FREVERSE) != 0
-    order = np.lexsort((np.concatenate(rec_i), np.concatenate(file_i),
-                        rev, merged.pos, merged.tid))
+    if heap_rev:
+        rev = (merged.flag & FREVERSE) != 0
+        order = np.lexsort((np.concatenate(rec_i), np.concatenate(file_i),
+                            rev, merged.pos, merged.tid))
+    else:
+        order = np.lexsort((np.concatenate(rec_i), np.concatenate(file_i),
+                            merged.pos, merged.tid))
     return merged.select(order)
 
 
 class RegionFetcher:
     """Callable window-batch source over a list of sorted BAMs: the
     bam_merge_iter_init(region) role of ctg_cns_core
-    (lib/ctg_cns.c:3474)."""
+    (lib/ctg_cns.c:3474).  heap_rev picks the merge tie order (see
+    merge_region_batches)."""
 
-    def __init__(self, paths: list[str]):
+    def __init__(self, paths: list[str], heap_rev: bool = True):
         self.bams = [IndexedBam(p) for p in paths]
         self.header = self.bams[0].header
+        self.heap_rev = heap_rev
 
     def fetch(self, tid: int, start: int, end: int) -> AlnBatch:
         return merge_region_batches(
-            [b.fetch(tid, start, end) for b in self.bams])
+            [b.fetch(tid, start, end) for b in self.bams],
+            heap_rev=self.heap_rev)
+
+    def fetch_head(self, n: int) -> AlnBatch:
+        """First n records of the merged stream (the insert-size
+        estimator's 10k head, lib/config.c:80-101): the merge of each
+        file's own n-head contains the global n-head."""
+        heads = [b.fetch_head(n) for b in self.bams]
+        merged = merge_region_batches(heads, heap_rev=self.heap_rev)
+        return merged.select(np.arange(min(n, len(merged))))
 
     def close(self):
         for b in self.bams:

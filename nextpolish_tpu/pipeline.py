@@ -38,17 +38,16 @@ class Pipeline:
     def __init__(self, cfg: RunConfig):
         self.cfg = cfg
         self.algo = AlgoConfig()
-        self._sgs_cache = None
-        self._lgs_cache = {}
+        self._sgs_paired = False
 
     # ------------------------------------------------------------------
     # read ingest (seq_split role, util/seq_split.c)
     # ------------------------------------------------------------------
-    def load_sgs_reads(self):
-        """Short reads from the fofn: interleaved pairs, N-read removal,
-        total-depth cap (seq_split semantics, util/seq_split.c:256-360)."""
-        if self._sgs_cache is not None:
-            return self._sgs_cache
+    def iter_sgs_chunks(self, chunk_reads: int):
+        """Short reads from the fofn as bounded chunks: interleaved pairs,
+        N-read removal, total-depth cap (seq_split semantics,
+        util/seq_split.c:256-360).  Yields (seqs, quals, names) lists of
+        <= chunk_reads reads so ingest RAM stays O(chunk)."""
         cfg = self.cfg
         files = [l.strip() for l in open(cfg.sgs_fofn) if l.strip()]
         files = [
@@ -57,9 +56,19 @@ class Pipeline:
             for f in files
         ]
         cap = cfg.sgs_max_depth * cfg.genome_size
+        paired = not cfg.sgs_unpaired and len(files) >= 2
+        self._sgs_paired = paired
         seqs, quals, names = [], [], []
         total = 0
-        if not cfg.sgs_unpaired and len(files) >= 2:
+        n_reads = 0
+
+        def flush():
+            nonlocal seqs, quals, names
+            out = (seqs, quals, names)
+            seqs, quals, names = [], [], []
+            return out
+
+        if paired:
             iters = [read_fastx(f) for f in files[:2]]
             for r1 in iters[0]:
                 r2 = next(iters[1], None)
@@ -72,10 +81,12 @@ class Pipeline:
                     seqs.append(r.seq)
                     quals.append(r.qual)
                     names.append(r.name)
+                n_reads += 2
                 total += len(r1.seq) + len(r2.seq)
+                if len(seqs) >= chunk_reads:
+                    yield flush()
                 if cap and total >= cap:
                     break
-            paired = True
         else:
             for f in files:
                 for r in read_fastx(f):
@@ -84,24 +95,27 @@ class Pipeline:
                     seqs.append(r.seq)
                     quals.append(r.qual)
                     names.append(r.name)
+                    n_reads += 1
                     total += len(r.seq)
+                    if len(seqs) >= chunk_reads:
+                        yield flush()
                     if cap and total >= cap:
                         break
                 if cap and total >= cap:
                     break
-            paired = False
-        log.info("sgs reads: %d (%d bases)", len(seqs), total)
-        self._sgs_cache = (seqs, quals, names, paired)
-        return self._sgs_cache
+        if seqs:
+            yield flush()
+        log.info("sgs reads: %d (%d bases)", n_reads, total)
 
-    def load_long_reads(self, kind: str):
-        """Long reads (lgs/hifi) with min/max length filters and depth cap."""
-        if kind in self._lgs_cache:
-            return self._lgs_cache[kind]
+    def iter_long_chunks(self, kind: str, chunk_reads: int):
+        """Long reads (lgs/hifi) as bounded chunks with min/max length
+        filters and the depth cap."""
         cfg = self.cfg
         fofn = cfg.lgs_fofn if kind == "lgs" else cfg.hifi_fofn
-        min_len = cfg.lgs_min_read_len if kind == "lgs" else cfg.hifi_min_read_len
-        max_len = cfg.lgs_max_read_len if kind == "lgs" else cfg.hifi_max_read_len
+        min_len = (cfg.lgs_min_read_len if kind == "lgs"
+                   else cfg.hifi_min_read_len)
+        max_len = (cfg.lgs_max_read_len if kind == "lgs"
+                   else cfg.hifi_max_read_len)
         cap = (cfg.lgs_max_depth if kind == "lgs" else cfg.hifi_max_depth
                ) * cfg.genome_size
         files = [l.strip() for l in open(fofn) if l.strip()]
@@ -111,6 +125,7 @@ class Pipeline:
         ]
         seqs, names = [], []
         total = 0
+        n_reads = 0
         for f in files:
             for r in read_fastx(f):
                 if len(r.seq) < min_len:
@@ -119,14 +134,18 @@ class Pipeline:
                     continue
                 seqs.append(r.seq)
                 names.append(r.name)
+                n_reads += 1
                 total += len(r.seq)
+                if len(seqs) >= chunk_reads:
+                    yield seqs, names
+                    seqs, names = [], []
                 if cap and total >= cap:
                     break
             if cap and total >= cap:
                 break
-        log.info("%s reads: %d (%d bases)", kind, len(seqs), total)
-        self._lgs_cache[kind] = (seqs, names)
-        return self._lgs_cache[kind]
+        if seqs:
+            yield seqs, names
+        log.info("%s reads: %d (%d bases)", kind, n_reads, total)
 
     # ------------------------------------------------------------------
     # per-task machinery
@@ -134,33 +153,103 @@ class Pipeline:
     CHUNK_READS = 200_000  # chunked ingest: raw FASTQ buffers stay
     # O(chunk) while mapping (seq_split's read-chunk role)
 
-    def map_sgs(self, genome: FastaIndex) -> bamio.AlnBatch:
+    def _spill_enabled(self, fofn: str) -> bool:
+        """Spill mapped chunks to sorted BAMs (the reference's per-part
+        sort + merge data plane, lib/bsort.c:1202-1463) when the mapped
+        records would not comfortably fit in RAM.  NPT_SPILL_BAM=1/0
+        forces; 'auto' estimates from the input file sizes."""
+        env = os.environ.get("NPT_SPILL_BAM", "auto")
+        if env in ("1", "always", "on"):
+            return True
+        if env in ("0", "never", "off"):
+            return False
+        from .runtime.budget import host_available_bytes
+
+        try:
+            d = os.path.dirname(os.path.abspath(fofn))
+            total = 0
+            for line in open(fofn):
+                line = line.strip()
+                if line:
+                    p = line if line.startswith("/") else os.path.join(d,
+                                                                       line)
+                    total += os.path.getsize(p)
+            # gz inputs expand ~3x; mapped records cost ~2x the raw bases
+            return total * 6 > host_available_bytes() // 4
+        except OSError:
+            return False
+
+    def _spill_chunk(self, recs: list, idx: GenomeIndex, part: str) -> str:
+        """Write one chunk's mapped records as a sorted, indexed BAM."""
+        header = bamio.BamHeader("", list(idx.names),
+                                 [int(x) for x in idx.lengths])
+        mapped = sorted((r for r in recs if r["tid"] >= 0),
+                        key=lambda r: (r["tid"], r["pos"]))
+        bamio.write_bam(part, header, mapped, index=True)
+        return part
+
+    def _spill_dir(self, genome_path: str, tag: str) -> str:
+        d = os.path.join(self.cfg.workdir, f"spill.{tag}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def map_sgs(self, genome: FastaIndex, genome_path: str = ""):
+        """Map short reads; returns an AlnBatch (in-memory) or a
+        RegionFetcher over spilled per-chunk sorted BAMs (O(window) data
+        plane — the reference's per-part `samtools sort` + merge,
+        source/nextPolish:199-226 + lib/bsort.c)."""
         idx = GenomeIndex.build(
             [(n, genome.fetch(n).seq) for n in genome.names], k=17, w=7
         )
-        recs = []
-        paired = False
-        seqs, quals, names, paired = self.load_sgs_reads()
+        spill = self._spill_enabled(self.cfg.sgs_fofn)
         c = self.CHUNK_READS - (self.CHUNK_READS % 2)  # keep mates together
-        for lo in range(0, len(seqs), c):
-            recs.extend(map_short_batch(idx, seqs[lo:lo + c],
-                                        names[lo:lo + c],
-                                        quals[lo:lo + c], paired=paired))
-        self._sgs_cache = None  # raw reads no longer needed
-        if not self.cfg.sgs_use_duplicate_reads and paired:
-            recs = mark_duplicates(recs)
+        recs = []
+        parts = []
+        dup_state: dict = {}
+        spdir = self._spill_dir(genome_path, "sgs") if spill else None
+        for ci, (seqs, quals, names) in enumerate(self.iter_sgs_chunks(c)):
+            chunk = map_short_batch(idx, seqs, names, quals,
+                                    paired=self._sgs_paired)
+            if not self.cfg.sgs_use_duplicate_reads and self._sgs_paired:
+                chunk = mark_duplicates(chunk, state=dup_state)
+            if spill:
+                parts.append(self._spill_chunk(
+                    chunk, idx, os.path.join(spdir, f"part{ci:04d}.bam")))
+            else:
+                recs.extend(chunk)
+        if spill:
+            from .io.bamregion import RegionFetcher
+
+            log.info("sgs data plane: %d spilled BAM parts", len(parts))
+            # samtools-merge tie order (no strand key) == the in-memory
+            # stable (tid, pos) sort -> byte-identical polish either way
+            return RegionFetcher(parts, heap_rev=False)
         return records_to_batch(recs, idx)
 
-    def map_long(self, genome: FastaIndex, kind: str) -> bamio.AlnBatch:
-        seqs, names = self.load_long_reads(kind)
+    def map_long(self, genome: FastaIndex, kind: str,
+                 genome_path: str = ""):
         idx = GenomeIndex.build(
             [(n, genome.fetch(n).seq) for n in genome.names], k=15, w=10
         )
+        fofn = self.cfg.lgs_fofn if kind == "lgs" else self.cfg.hifi_fofn
+        spill = self._spill_enabled(fofn)
         recs = []
-        for lo in range(0, len(seqs), self.CHUNK_READS):
-            recs.extend(map_long_batch(idx, seqs[lo:lo + self.CHUNK_READS],
-                                       names[lo:lo + self.CHUNK_READS]))
-        self._lgs_cache.pop(kind, None)
+        parts = []
+        spdir = self._spill_dir(genome_path, kind) if spill else None
+        for ci, (seqs, names) in enumerate(
+                self.iter_long_chunks(kind, self.CHUNK_READS)):
+            chunk = map_long_batch(idx, seqs, names)
+            if spill:
+                parts.append(self._spill_chunk(
+                    chunk, idx, os.path.join(spdir, f"part{ci:04d}.bam")))
+            else:
+                recs.extend(chunk)
+        if spill:
+            from .io.bamregion import RegionFetcher
+
+            log.info("%s data plane: %d spilled BAM parts", kind,
+                     len(parts))
+            return RegionFetcher(parts, heap_rev=False)
         return records_to_batch(recs, idx)
 
     def polish_task(self, task: int, genome_path: str, outfile: str) -> None:
@@ -174,11 +263,24 @@ class Pipeline:
         todo = [n for n in mine if n not in done]
         if not todo:
             return
+        def per_contig(src, name, seqlen):
+            """Per-contig AlnBatch from a spilled RegionFetcher (htslib
+            bam_itr_queryi role); in-memory batches pass through."""
+            if src is not None and hasattr(src, "fetch"):
+                return src.fetch(src.header.name2id(name),
+                                 0, max(seqlen - 1, 0))
+            return src
+
+        def head_of(src):
+            return (src.fetch_head(10_000)
+                    if hasattr(src, "fetch_head") else src)
+
         engine = None
         if task in (1, 2):
-            batch = self.map_sgs(genome)
+            batch = self.map_sgs(genome, genome_path)
             if task == 2:
-                self.algo.read_tlen = estimate_read_tlen(batch, self.algo)
+                self.algo.read_tlen = estimate_read_tlen(head_of(batch),
+                                                         self.algo)
             from .models.kmer_count import kmer_count_contig
             from .models.score_chain import score_chain_pipeline
 
@@ -188,19 +290,23 @@ class Pipeline:
                     self.algo)
             else:
                 engine = lambda name, seq: kmer_count_contig(
-                    name, seq, batch, self.algo)
+                    name, seq, per_contig(batch, name, len(seq)), self.algo)
         elif task in (3, 4):
-            sgs = self.map_sgs(genome)
-            self.algo.read_tlen = estimate_read_tlen(sgs, self.algo)
-            lgs = self.map_long(genome, "lgs") if self.cfg.lgs_fofn else None
+            sgs = self.map_sgs(genome, genome_path)
+            self.algo.read_tlen = estimate_read_tlen(head_of(sgs),
+                                                     self.algo)
+            lgs = (self.map_long(genome, "lgs", genome_path)
+                   if self.cfg.lgs_fofn else None)
             from .models.snp_phase import snp_phase_contig
             from .models.snp_valid import snp_valid_contig
 
             fn = snp_phase_contig if task == 3 else snp_valid_contig
-            engine = lambda name, seq: fn(name, seq, sgs, lgs, self.algo)
+            engine = lambda name, seq: fn(
+                name, seq, per_contig(sgs, name, len(seq)),
+                per_contig(lgs, name, len(seq)), self.algo)
         elif task in (5, 6):
             kind = "lgs" if task == 5 else "hifi"
-            batch = self.map_long(genome, kind)
+            batch = self.map_long(genome, kind, genome_path)
             read_type = (self.cfg.lgs_read_type or "ont") if task == 5 else "hifi"
             from .models.ctg_cns import ctg_cns_contig
             from .runtime.budget import cns_window_len
@@ -330,17 +436,23 @@ def read_polished_names(outfile: str) -> set:
     return set(names[:-1])
 
 
-def mark_duplicates(recs: list) -> list:
+def mark_duplicates(recs: list, state: dict | None = None) -> list:
     """Remove PCR duplicates: proper pairs sharing (tid, fragment start/end,
     orientation) keep only the first (samtools markdup -r role,
-    source/nextPolish:119-156)."""
+    source/nextPolish:119-156).
+
+    `state` carries the seen-key set across chunks so chunked (spilled)
+    processing drops exactly the records a whole-input pass would — mates
+    always share a chunk (chunk sizes are even and pairs adjacent)."""
     # mate lookup by read name (records may include secondaries or be
     # reordered, so positional adjacency is not reliable)
     primary_by_name: dict = {}
     for i, r in enumerate(recs):
         if not (r["flag"] & (bamio.FSECONDARY | bamio.FSUPPLEMENTARY)):
             primary_by_name.setdefault(r.get("name"), []).append(i)
-    seen = set()
+    if state is None:
+        state = {}
+    seen = state.setdefault("seen", set())
     drop = set()
     for i, r in enumerate(recs):
         if r["tid"] < 0 or not (r["flag"] & bamio.FPROPER):

@@ -156,3 +156,127 @@ def test_pipeline_cns_window_budget(monkeypatch):
     w, clamped = cns_window_len("ont", avail_bytes=1 << 42,
                                 requested=5_000_000)
     assert not clamped and w == 5_000_000
+
+
+def test_pipeline_spill_equals_memory(tmp_path):
+    """Forced spill-to-BAM data plane produces a byte-identical final
+    assembly to the in-memory path through `run.cfg` (VERDICT r2 item 4)."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(77)
+    _make_project(tmp_path, rng, L=5000, n_edits=8, depth=30)
+    outs = {}
+    for mode, flag in (("mem", "0"), ("spill", "1")):
+        wd = tmp_path / f"work_{mode}"
+        cfg_text = (tmp_path / "run.cfg").read_text().replace(
+            "./work", f"./work_{mode}")
+        (tmp_path / f"run_{mode}.cfg").write_text(cfg_text)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, NPT_SPILL_BAM=flag, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=repo)
+        r = subprocess.run(
+            [sys.executable, "-m", "nextpolish_tpu",
+             str(tmp_path / f"run_{mode}.cfg")],
+            capture_output=True, text=True, env=env, timeout=900,
+            cwd=str(tmp_path))
+        assert r.returncode == 0, r.stderr[-3000:]
+        asm = wd / "genome.nextpolish.fasta"
+        assert asm.exists()
+        outs[mode] = asm.read_bytes()
+        if mode == "spill":
+            spilled = list(wd.glob("spill.*/part*.bam"))
+            assert spilled, "spill mode must write BAM parts"
+            assert all(p.with_suffix(".bam.bai").exists()
+                       or os.path.exists(str(p) + ".bai")
+                       for p in spilled)
+    assert outs["mem"] == outs["spill"]
+
+
+def test_pipeline_spill_bounds_memory(tmp_path):
+    """The spilled data plane holds peak RSS well below the in-memory path
+    on a multi-contig genome through Pipeline.polish_task.  Reads are
+    exact substrings with their position in the name, and the mapper is
+    monkeypatched to a trivial exact placer, so the test exercises the
+    data plane (spill, merge, streaming polish) at real scale without
+    paying for seed-chain alignment."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(5)
+    n_contigs, L, depth, rl = 8, 400_000, 12, 150
+    with gzip.open(tmp_path / "reads.fq.gz", "wt") as fh:
+        drafts = []
+        for t in range(n_contigs):
+            true = rand_seq(rng, L)
+            drafts.append(true)
+            for j in range(depth * L // rl):
+                p = int(rng.integers(0, L - rl))
+                fh.write(f"@r_{t}_{p}_{j}\n"
+                         f"{true[p:p+rl].decode()}\n+\n{'I'*rl}\n")
+    with open(tmp_path / "draft.fa", "wb") as fh:
+        for t, d in enumerate(drafts):
+            fh.write(b">c%d\n%s\n" % (t, d))
+    (tmp_path / "sgs.fofn").write_text("reads.fq.gz\n")
+
+    prog = r"""
+import os, sys, resource, json
+sys.path.insert(0, {repo!r})
+os.environ["JAX_PLATFORMS"] = "cpu"
+mode = sys.argv[1]
+os.environ["NPT_SPILL_BAM"] = "1" if mode == "spill" else "0"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import nextpolish_tpu.pipeline as P
+
+
+from nextpolish_tpu.io.fasta import ASCII_TO_NIB as A2N
+
+
+def fake_map_short_batch(idx, seqs, names, quals=None, paired=False):
+    out = []
+    for s, n in zip(seqs, names):
+        _, t, p, _ = n.split("_")
+        out.append(dict(
+            name=n, flag=0, tid=int(t), pos=int(p), mapq=60,
+            cigar=np.array([(len(s) << 4)], dtype=np.uint32),
+            seq_nib=A2N[np.frombuffer(s, np.uint8)],
+            qual=np.full(len(s), 35, np.uint8), mtid=-1, mpos=-1,
+            tlen=300))
+    return out
+
+
+P.map_short_batch = fake_map_short_batch
+from nextpolish_tpu.config import RunConfig
+cfg = RunConfig(genome={draft!r}, sgs_fofn={fofn!r}, workdir={wd!r},
+                task=[1], genome_size=3_200_000)
+pipe = P.Pipeline(cfg)
+os.makedirs(cfg.workdir, exist_ok=True)
+out = {wd!r} + "/part." + mode + ".fa"
+pipe.polish_task(1, {draft!r}, out)
+rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+lens = {{}}
+name = None
+for line in open(out, "rb"):
+    if line.startswith(b">"):
+        name = line.split()[0][1:].decode()
+        lens[name] = 0
+    else:
+        lens[name] += len(line.strip())
+print(json.dumps({{"rss_kb": rss, "lens": lens}}))
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           draft=str(tmp_path / "draft.fa"),
+           fofn=str(tmp_path / "sgs.fofn"), wd=str(tmp_path / "wd"))
+    import json
+    outs = {}
+    for mode in ("spill", "mem"):
+        r = subprocess.run([sys.executable, "-c", prog, mode],
+                           capture_output=True, text=True,
+                           env=dict(os.environ, PYTHONPATH=""),
+                           timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        outs[mode] = json.loads(r.stdout.strip().splitlines()[-1])
+    assert outs["spill"]["lens"] == outs["mem"]["lens"]
+    assert (outs["spill"]["rss_kb"]
+            < outs["mem"]["rss_kb"] - 20_000), outs
