@@ -28,7 +28,7 @@ H_START, H_DIAG, H_E, H_F = 0, 1, 2, 3
 
 
 def _band_align_core(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
-                     mode="local"):
+                     mode="local", clip5=0, clip3=0):
     """q: [Bt, R] uint8 codes (4=pad); t: [Bt, R+B] codes.
 
     local mode: Smith-Waterman, cell (i, c) aligns q[i] to t[i+c] and the
@@ -37,6 +37,14 @@ def _band_align_core(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
     (i, c) maps to ref index j = i + c - off with off = B//2, t must be laid
     out as t[x] = ref[x - off] (host pads x < off), and the forced end cell
     is (qlen-1, tlen - qlen + off).
+
+    clip5/clip3 (local mode) add bwa mem's soft-clip penalties
+    (opt_pen_clip5/3, util/bwa/bwamem.c): paths anchored at the query
+    start carry a +clip5 bonus (so clipping the 5' end must win by more
+    than clip5), and the alignment extends to the query end whenever the
+    best last-row score is within clip3 of the local optimum.  The
+    returned score still includes the 5' bonus; band_align_ops subtracts
+    it once the traceback shows the path reached query base 0.
 
     Returns (tb [Bt, R, B] uint8, best score, end row, end col per read).
     """
@@ -102,7 +110,7 @@ def _band_align_core(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
         return (H, E, Hfin, i + 1), (tb, best, argc)
 
     if local:
-        H0 = jnp.zeros((Bt, B), jnp.int32)
+        H0 = jnp.full((Bt, B), clip5, jnp.int32)
     else:
         # virtual row i=-1: j = c - 1 - off; 0 at j=-1, leading-deletion
         # penalties for j >= 0, NEG left of the start
@@ -119,6 +127,14 @@ def _band_align_core(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
         best_i = jnp.argmax(best_rows, axis=0)
         best = jnp.take_along_axis(best_rows, best_i[None], axis=0)[0]
         best_c = jnp.take_along_axis(argc_rows, best_i[None], axis=0)[0]
+        if clip3:
+            # prefer reaching the query end when within clip3 of optimal
+            g_best = jnp.max(Hfin, axis=1)
+            g_c = jnp.argmax(Hfin, axis=1)
+            use_g = (g_best > 0) & (g_best + clip3 >= best)
+            best = jnp.where(use_g, g_best, best)
+            best_i = jnp.where(use_g, qlen - 1, best_i)
+            best_c = jnp.where(use_g, g_c, best_c)
     else:
         best_i = qlen - 1
         best_c = tlen - qlen + off
@@ -127,7 +143,8 @@ def _band_align_core(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
 
 
 _band_align = partial(jax.jit, static_argnames=(
-    "match", "mismatch", "gapo", "gape", "mode"))(_band_align_core)
+    "match", "mismatch", "gapo", "gape", "mode", "clip5",
+    "clip3"))(_band_align_core)
 
 
 def _traceback_device(tb, end_i, end_c):
@@ -186,19 +203,20 @@ def _traceback_device(tb, end_i, end_c):
 
 
 @partial(jax.jit,
-         static_argnames=("match", "mismatch", "gapo", "gape", "mode"))
+         static_argnames=("match", "mismatch", "gapo", "gape", "mode",
+                          "clip5", "clip3"))
 def _band_align_ops(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
-                    mode="local"):
+                    mode="local", clip5=0, clip3=0):
     tb, best, best_i, best_c = _band_align_core(
         q, t, qlen, tlen, match=match, mismatch=mismatch, gapo=gapo,
-        gape=gape, mode=mode)
+        gape=gape, mode=mode, clip5=clip5, clip3=clip3)
     ops, fin_i, fin_c = _traceback_device(tb, best_i, best_c)
     return ops, best, best_i, best_c, fin_i, fin_c
 
 
 def band_align_ops(q_codes: np.ndarray, t_codes: np.ndarray, qlen: np.ndarray,
                    tlen: np.ndarray, match=1, mismatch=4, gapo=6, gape=1,
-                   mode="local"):
+                   mode="local", clip5=0, clip3=0):
     """Fused align + traceback: numpy in, numpy out, with the traceback run
     on device so only the op stream (not the [Bt, R, B] tensor) is fetched.
 
@@ -220,7 +238,8 @@ def band_align_ops(q_codes: np.ndarray, t_codes: np.ndarray, qlen: np.ndarray,
     out = _band_align_ops(
         jnp.asarray(q_codes), jnp.asarray(t_codes),
         jnp.asarray(qlen, dtype=jnp.int32), jnp.asarray(tlen, dtype=jnp.int32),
-        match=match, mismatch=mismatch, gapo=gapo, gape=gape, mode=mode)
+        match=match, mismatch=mismatch, gapo=gapo, gape=gape, mode=mode,
+        clip5=clip5, clip3=clip3)
     # one batched fetch: per-array round-trips cost ~35 ms each on the tunnel
     packed, sc, ei, ec, fi, fc = jax.device_get(out)
     packed = packed[:n]
@@ -240,6 +259,9 @@ def band_align_ops(q_codes: np.ndarray, t_codes: np.ndarray, qlen: np.ndarray,
         j_lo = j_lo - lead_del
     else:
         lead_del = np.zeros(n, dtype=np.int64)
+    if mode == "local" and clip5:
+        # the +clip5 start-anchor bonus is not part of the real score
+        sc = sc - np.where(i_lo == 0, clip5, 0)
     return ops, sc, i_lo, j_lo, i_hi, j_hi, lead_del
 
 

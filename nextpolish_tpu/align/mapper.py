@@ -251,8 +251,11 @@ def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
             hi_c = min(ts + W, idx.codes.size)
             if hi_c > lo_c:
                 t[b, lo_c - ts : hi_c - ts] = idx.codes[lo_c:hi_c]
+        # bwa mem's soft-clip penalties (opt->pen_clip5/3 = 5,
+        # util/bwa/bwamem.c): prefer running through end errors over
+        # clipping them unless clipping wins by > 5
         ops, score, i_lo, j_lo, i_hi, j_hi, _ = band_align_ops(
-            q, t, qlen, tlen)
+            q, t, qlen, tlen, clip5=5, clip3=5)
         tid_b, pos_b = idx.global_to_contig(tstart + j_lo)
         tid2_b, _ = idx.global_to_contig(tstart + j_hi)
         # gapless fast path: rows whose op stream is pure M need no
@@ -338,7 +341,7 @@ def _mate_rescue(records, idx: GenomeIndex, codes_fwd, min_score: int,
             if hi_c > lo_c:
                 t[b, lo_c - ts : hi_c - ts] = idx.codes[lo_c:hi_c]
         ops, score, i_lo, j_lo, i_hi, j_hi, _ = band_align_ops(
-            q, t, qlen, tlen)
+            q, t, qlen, tlen, clip5=5, clip3=5)
         tid_b, pos_b = idx.global_to_contig(tstart + j_lo)
         tid2_b, _ = idx.global_to_contig(tstart + j_hi)
         for b, (i, m) in enumerate(sub):

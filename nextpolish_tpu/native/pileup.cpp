@@ -104,6 +104,36 @@ void walk(const WalkArgs &a, Acc &acc, long long s_lo, long long s_hi,
       while (qend >= 0 && qend < lq - 1 && nib[qend] == nib[qend + 1]) qend--;
     }
 
+    // ---- gapless fast path: [S] M [S] fully inside the region with no
+    // insert slots under the span (the overwhelmingly common case for
+    // short reads).  Emissions are then one contiguous cell run with no
+    // pass-through padding, so the guarded per-op walk collapses to a
+    // tight rolling-kmer loop.
+    {
+      const int mi = (ncig == 1) ? 0 : ((cig[0] & 0xF) == CSOFT ? 1 : 0);
+      const bool shape_ok =
+          (ncig == 1 + mi + (((cig[ncig - 1] & 0xF) == CSOFT && ncig > 1)
+                                 ? 1
+                                 : 0)) &&
+          (cig[mi] & 0xF) == CMATCH;
+      if (shape_ok && qend >= qstart) {
+        const long long mlen = cig[mi] >> 4;
+        const long long pos0 = a.rpos[r];
+        if (pos0 >= start && pos0 + mlen - 1 <= end && mlen > 0 &&
+            a.cell_of[pos0 + mlen - 1 - start] -
+                    a.cell_of[pos0 - start] == mlen - 1) {
+          // emissions: query q in [qstart, qend] -> cell c0 + (q - lsoft)
+          const long long c0 = a.cell_of[pos0 - start] - lsoft;
+          int kmer = 0;
+          for (long long qp = qstart; qp <= qend; qp++) {
+            kmer = kshift(kmer, NIB2SYM[nib[qp] & 0xF]);
+            acc.add(c0 + qp, kmer);
+          }
+          continue;
+        }
+      }
+    }
+
     long long pos = a.rpos[r];
     long long qpos = 0;
     int kmer = 0;

@@ -222,12 +222,15 @@ FLAGB_COV = 4    # bit of FLAG_COVERAGE (low chosen-base support)
 
 @partial(jax.jit, static_argnames=("L", "E", "TH", "chunk"))
 def chain_correct_packed(buf, L, E, TH, chunk=CHUNK):
-    """chain_correct with every input packed into ONE int32 buffer —
-    the host<->device link (a tunnel here) has high per-transfer latency, so
-    several small arrays cost far more than one concatenated one.
+    """chain_correct with every input packed into ONE uint16 buffer —
+    the host<->device link (a tunnel here) has high per-transfer latency
+    and ~tens-of-MB/s bandwidth, so the encoding is as tight as exactness
+    allows.  Keys ride as deltas: every DP cell observes at least its own
+    draft kmer, so consecutive sorted keys differ by < 2*K3 and fit u16
+    (a device cumsum reconstructs them).
 
-    Layout: [uk(E) | cn(E) | rk(E) | refkmer(L) | total(L) | s0mask, rate,
-             n_dp | th(TH)] with rate bitcast into the int32 lane.
+    Layout (u16 lanes): [duk(E) | cn(E) | rk(E) | refkmer(L) | total(L) |
+    s0mask, rate_lo, rate_hi, n_dp_lo, n_dp_hi | th(2*TH as lo/hi pairs)].
 
     th is the host-built integer coverage-threshold LUT indexed by
     min(total, TH-1): cell is FLAG_COVERAGE iff cov < th[total], where the
@@ -238,15 +241,24 @@ def chain_correct_packed(buf, L, E, TH, chunk=CHUNK):
 
     Returns packed[L] int8: choice | FLAG_ZERO bit 3 | FLAG_COVERAGE bit 4.
     One byte per cell is all that ever crosses back over the link."""
-    uk = buf[:E]
-    cn = buf[E:2 * E].astype(jnp.uint16)
-    rk = buf[2 * E:3 * E].astype(jnp.uint16)
-    rkm = buf[3 * E:3 * E + L]
-    total = buf[3 * E + L:3 * E + 2 * L]
-    s0mask = buf[3 * E + 2 * L]
-    rate = jax.lax.bitcast_convert_type(buf[3 * E + 2 * L + 1], jnp.float32)
-    n_dp = buf[3 * E + 2 * L + 2]
-    th = buf[3 * E + 2 * L + 3:3 * E + 2 * L + 3 + TH]
+    b32 = buf.astype(jnp.int32)
+    tail = 3 * E + 2 * L
+    s0mask = b32[tail]
+    rate = jax.lax.bitcast_convert_type(
+        (b32[tail + 1] | (b32[tail + 2] << 16)).astype(jnp.int32),
+        jnp.float32)
+    n_dp = b32[tail + 3] | (b32[tail + 4] << 16)
+    nnz = b32[tail + 5] | (b32[tail + 6] << 16)
+    th = (b32[tail + 7:tail + 7 + 2 * TH:2]
+          | (b32[tail + 8:tail + 8 + 2 * TH:2] << 16))
+    # duk[0] = first key (< K3: cell 0 holds its draft kmer); pad lanes
+    # carry delta 0 and are redirected to the trash slot below
+    uk = jnp.cumsum(b32[:E])
+    uk = jnp.where(jnp.arange(E) < nnz, uk, L * K3)
+    cn = buf[E:2 * E]
+    rk = buf[2 * E:3 * E]
+    rkm = b32[3 * E:3 * E + L]
+    total = b32[3 * E + L:3 * E + 2 * L]
     valid = jnp.arange(L, dtype=jnp.int32) < n_dp
     s0 = jnp.where((s0mask >> jnp.arange(S)) & 1 != 0, jnp.float32(0.0), NEG)
     # keys are unique and sorted (padding -> a trash slot at L*K3), which
@@ -383,30 +395,37 @@ def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
     pipeline round-robins contigs over jax.devices(), the TPU analog of
     blc_genome's contig blocks, source/nextPolish:93-117)."""
     L = pad_to_chunk(max(n_dp, 1), chunk)
-    rkm = np.zeros(L, dtype=np.int32)
-    rkm[:n_dp] = refkmer[:n_dp]
-    t = np.zeros(L, dtype=np.int32)
-    t[:n_dp] = total[:n_dp]
-    hi = np.searchsorted(uk_in, n_dp * K3)
+    hi = int(np.searchsorted(uk_in, n_dp * K3))
     nz = uk_in[:hi]
     E = _pow2(max(len(nz), 1))
     k0 = nz[: int(np.searchsorted(nz, K3))]
     s0mask = 1 | int(np.bitwise_or.reduce(
         1 << np.unique((k0 >> 3) & 7))) if len(k0) else 1
-    maxt = int(t.max()) if n_dp else 1
+    maxt = int(total[:n_dp].max()) if n_dp else 1
     TH = _pow2(min(maxt + 1, TH_CAP))
-    buf = np.zeros(3 * E + 2 * L + 3 + TH, dtype=np.int32)
-    buf[:E] = L * K3  # pad keys target the trash slot past the dense array
-    buf[: len(nz)] = nz
+    # u16 packing halves the host->device bytes; see chain_correct_packed
+    buf = np.zeros(3 * E + 2 * L + 7 + 2 * TH, dtype=np.uint16)
+    if len(nz):
+        buf[0] = nz[0]  # < K3: cell 0 always holds its draft kmer
+        np.subtract(nz[1:], nz[:-1], out=buf[1:len(nz)],
+                    casting="unsafe")
     buf[E : E + len(nz)] = np.minimum(cn_in[:hi], np.iinfo(np.uint16).max)
     buf[2 * E : 2 * E + len(nz)] = rk_in[:hi]
-    buf[2 * E + len(nz) : 3 * E] = 0xFFFF
-    buf[3 * E : 3 * E + L] = rkm
-    buf[3 * E + L : 3 * E + 2 * L] = t
-    buf[3 * E + 2 * L] = s0mask
-    buf[3 * E + 2 * L + 1] = np.float32(rate).view(np.int32)
-    buf[3 * E + 2 * L + 2] = n_dp
-    buf[3 * E + 2 * L + 3:] = coverage_thresholds(TH - 1, cov_ratio)
+    buf[3 * E : 3 * E + n_dp] = refkmer[:n_dp]
+    np.minimum(total[:n_dp], 0xFFFF, out=buf[3 * E + L:3 * E + L + n_dp],
+               casting="unsafe")
+    tail = 3 * E + 2 * L
+    buf[tail] = s0mask
+    r32 = np.float32(rate).view(np.uint32)
+    buf[tail + 1] = r32 & 0xFFFF
+    buf[tail + 2] = r32 >> 16
+    buf[tail + 3] = n_dp & 0xFFFF
+    buf[tail + 4] = n_dp >> 16
+    buf[tail + 5] = len(nz) & 0xFFFF
+    buf[tail + 6] = len(nz) >> 16
+    thv = coverage_thresholds(TH - 1, cov_ratio).astype(np.uint32)
+    buf[tail + 7:tail + 7 + 2 * TH:2] = thv & 0xFFFF
+    buf[tail + 8:tail + 8 + 2 * TH:2] = thv >> 16
     if device is not None:
         import jax
 
