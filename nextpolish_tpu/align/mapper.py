@@ -59,6 +59,66 @@ def seed_read(idx: GenomeIndex, codes: np.ndarray):
     return diag, strand
 
 
+def _tied_clusters(idx: GenomeIndex, codes: np.ndarray, tol: int = 8):
+    """All top-tied seed clusters of one read: [(diag, strand, votes)],
+    merged-bin counting identical to seed_votes_batch."""
+    diag, strand = seed_read(idx, codes)
+    if not diag.size:
+        return []
+    key = (diag // tol) * 2 + strand.astype(np.int64)
+    uniq, counts = np.unique(key, return_counts=True)
+    merged = counts.copy()
+    for d in (-2, 2):
+        j = np.searchsorted(uniq, uniq + d)
+        ok = (j < uniq.size)
+        ok &= uniq[np.minimum(j, uniq.size - 1)] == uniq + d
+        merged[ok] += counts[j[ok]]
+    top = int(merged.max())
+    out = []
+    taken = set()
+    for u in uniq[merged == top]:
+        if u - 2 in taken:  # adjacent same-strand bin of a taken cluster
+            continue
+        taken.add(int(u))
+        sel = (key == u) | (key == u - 2) | (key == u + 2)
+        out.append((int(np.median(diag[sel])), int(u & 1), top))
+    return out
+
+
+def _pair_disambiguate(placements, idx: GenomeIndex, codes_fwd,
+                       window: int = 1200):
+    """bwa mem's pairing stage for ambiguous reads (mem_pair role,
+    util/bwa/bwamem_pair.c): when a read's best seed clusters tie but its
+    mate is confidently placed, pick the tied cluster that forms a proper
+    FR pair inside the insert window instead of the pseudo-random tie
+    hash.  Repeat-copy ambiguity then resolves the way bwa resolves it —
+    by mate evidence — which is what the polishing pileups see."""
+    n = len(placements)
+    for i in range(n):
+        d, s, v1, v2 = placements[i]
+        if v1 <= 0 or v2 < v1:  # unambiguous (or unplaced)
+            continue
+        mate = i + 1 if i % 2 == 0 else i - 1
+        if not (0 <= mate < n):
+            continue
+        md, ms, mv1, mv2 = placements[mate]
+        if mv1 <= 0 or mv2 >= mv1:  # mate ambiguous too
+            continue
+        cands = _tied_clusters(idx, codes_fwd[i])
+        if len(cands) < 2:
+            continue
+        best = None
+        for cd, cs, _ in cands:
+            if cs == ms:  # FR orientation: mates on opposite strands
+                continue
+            gap = abs(cd - md)
+            if gap <= window and (best is None or gap < best[0]):
+                best = (gap, cd, cs)
+        if best is not None:
+            placements[i] = (best[1], best[2], v1, v2)
+    return placements
+
+
 def _vote(diag: np.ndarray, strand: np.ndarray, tol: int = 8):
     """Pick the best (diag, strand) cluster (adjacent diag bins merged);
     returns (best_diag, best_strand, votes, second_votes)."""
@@ -226,6 +286,8 @@ def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
         lens[i] = cseq.size
     votes = seed_votes_batch(idx, mat, lens, subsample=seed_subsample)
     placements = [tuple(votes[i]) for i in range(n)]
+    if paired:
+        placements = _pair_disambiguate(placements, idx, codes_fwd)
 
     records = [None] * n
     # batch the extensions
@@ -247,8 +309,16 @@ def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
             qlen[b] = c.size
             ts = d - band // 2
             tstart[b] = ts
-            lo_c = max(ts, 0)
-            hi_c = min(ts + W, idx.codes.size)
+            # clamp the window to the placed contig: reads hanging off a
+            # contig edge align clipped at the boundary (bwa keeps them;
+            # dropping them left a coverage hole at every contig edge)
+            mid = min(max(d + c.size // 2, 0), idx.codes.size - 1)
+            cid, _ = idx.global_to_contig(np.int64(mid))
+            cid = int(cid)
+            g0 = int(idx.starts[cid])
+            g1 = g0 + int(idx.lengths[cid])
+            lo_c = max(ts, g0)
+            hi_c = min(ts + W, g1)
             if hi_c > lo_c:
                 t[b, lo_c - ts : hi_c - ts] = idx.codes[lo_c:hi_c]
         # bwa mem's soft-clip penalties (opt->pen_clip5/3 = 5,
@@ -337,7 +407,10 @@ def _mate_rescue(records, idx: GenomeIndex, codes_fwd, min_score: int,
             q[b, : c.size] = c
             qlen[b] = c.size
             tstart[b] = ts
-            lo_c, hi_c = max(ts, 0), min(ts + W, idx.codes.size)
+            # clamp to the mate's contig (edge reads align clipped)
+            g0 = int(idx.starts[m["ref_id"]])
+            g1 = g0 + int(idx.lengths[m["ref_id"]])
+            lo_c, hi_c = max(ts, g0), min(ts + W, g1)
             if hi_c > lo_c:
                 t[b, lo_c - ts : hi_c - ts] = idx.codes[lo_c:hi_c]
         ops, score, i_lo, j_lo, i_hi, j_hi, _ = band_align_ops(

@@ -391,7 +391,14 @@ def _run_batch_pallas(dws, read_type, cov_coef=None, sc_tail=False):
 
     With sc_tail=True, only the last position's levels of the score output
     cross back (all a traceback needs); earlier levels read NEG."""
-    from .pallas_scan import CL, NEG, get_level_scan
+    return _collect_batch_pallas(
+        _dispatch_batch_pallas(dws, read_type, cov_coef), sc_tail=sc_tail)
+
+
+def _dispatch_batch_pallas(dws, read_type, cov_coef=None):
+    """Pack + launch every window's pallas scan (async); returns pending
+    handles for _collect_batch_pallas."""
+    from .pallas_scan import CL, get_level_scan
 
     rt_id = READ_TYPE_ID[read_type]
     c = COV_COEF[read_type] if cov_coef is None else cov_coef
@@ -444,6 +451,13 @@ def _run_batch_pallas(dws, read_type, cov_coef=None, sc_tail=False):
         except AttributeError:
             pass
         pend.append((dw, Lt, best_d, sc_d))
+    return pend
+
+
+def _collect_batch_pallas(pend, sc_tail=False):
+    """Fetch the pending pallas results -> per-window (best, sc)."""
+    from .pallas_scan import NEG
+
     out = []
     for dw, Lt, best_d, sc_d in pend:
         best = np.asarray(best_d)[:Lt]
@@ -591,10 +605,10 @@ def cns_dp_device(merged, coverage, length, read_type, min_cov, lq_min_qv):
                      min_cov, lq_min_qv=lq_min_qv)
 
 
-def cns_dp_device_batch(items, read_type, min_cov, lq_min_qv):
-    """Batched windows -> [Consensus | None]; items are
-    (merged_TagColumns, coverage, length) triples.  Windows that exceed
-    the device caps come back as None (caller falls back per window)."""
+def cns_dp_device_batch_begin(items, read_type):
+    """Prepare + dispatch a batch of windows; the device scans (and their
+    host copies) run while the caller preps the next group.  Returns an
+    opaque state for cns_dp_device_batch_end."""
     denses = []
     metas = []
     for merged, coverage, length in items:
@@ -602,11 +616,34 @@ def cns_dp_device_batch(items, read_type, min_cov, lq_min_qv):
         denses.append(dw)
         metas.append((edges, coverage, length))
     todo = [i for i, dw in enumerate(denses) if dw is not None]
+    handles = None
+    if todo:
+        if _use_pallas():
+            try:
+                handles = _dispatch_batch_pallas(
+                    [denses[i] for i in todo], read_type)
+            except Exception as e:
+                global _PALLAS_WARNED
+                if not _PALLAS_WARNED:
+                    _PALLAS_WARNED = True
+                    import warnings
+
+                    warnings.warn(f"pallas level scan unavailable ({e!r});"
+                                  " using lax.scan")
+    return denses, metas, todo, handles, read_type
+
+
+def cns_dp_device_batch_end(state, min_cov, lq_min_qv):
+    """Collect a cns_dp_device_batch_begin state -> [Consensus | None]."""
+    denses, metas, todo, handles, read_type = state
     out = [None] * len(denses)
     if todo:
-        # sc_tail: the traceback only reads the last position's scores
-        results = _run_batch([denses[i] for i in todo], read_type,
-                             sc_tail=True)
+        if handles is not None:
+            results = _collect_batch_pallas(handles, sc_tail=True)
+        else:
+            # sc_tail: the traceback only reads the last position's scores
+            results = _run_batch([denses[i] for i in todo], read_type,
+                                 sc_tail=True)
         for i, (best, sc_bm) in zip(todo, results):
             dw = denses[i]
             edges, coverage, length = metas[i]
@@ -614,3 +651,11 @@ def cns_dp_device_batch(items, read_type, min_cov, lq_min_qv):
             out[i] = traceback(edges, score, barr, coverage, length,
                                read_type, min_cov, lq_min_qv=lq_min_qv)
     return out
+
+
+def cns_dp_device_batch(items, read_type, min_cov, lq_min_qv):
+    """Batched windows -> [Consensus | None]; items are
+    (merged_TagColumns, coverage, length) triples.  Windows that exceed
+    the device caps come back as None (caller falls back per window)."""
+    return cns_dp_device_batch_end(
+        cns_dp_device_batch_begin(items, read_type), min_cov, lq_min_qv)

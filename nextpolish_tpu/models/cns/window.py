@@ -500,8 +500,10 @@ def consensus_for_contig(batch: AlnBatch, tid: int, contig: bytes,
 
     from ...runtime import trace
 
-    parts = []
-    for glo in range(0, len(starts), group):
+    eng = default_engine()
+    lq_min_qv = 80 if read_type == "hifi" else 20
+
+    def prep_group(glo):
         works = []
         for s, e in starts[glo:glo + group]:
             if fetcher is not None:
@@ -514,13 +516,53 @@ def consensus_for_contig(batch: AlnBatch, tid: int, contig: bytes,
                 works.append(window_prep(wbatch, tid, contig_ascii, s, e,
                                          read_type, struct_ctx,
                                          contig_name))
-        with trace.timed("cns.dp"):
-            cnss = window_dp_batch(works, read_type, min_cov)
+        return works
+
+    def finish_group(glo, works, cnss):
+        out = []
         with trace.timed("cns.host"):
             for (s, e), work, cns in zip(starts[glo:glo + group], works,
                                          cnss):
+                if cns is None:
+                    cns = window_dp(work, read_type, min_cov,
+                                    engine="native" if eng == "device"
+                                    else eng)
                 if repair:
                     cns = window_repair(work, cns, read_type)
-                parts.append((s, cns))
+                out.append((s, cns))
+        return out
+
+    parts = []
+    if eng == "device":
+        # one-group lookahead: group g's device scans (and host copies)
+        # run while group g+1 preps on the host
+        from .device_dp import (cns_dp_device_batch_begin,
+                                cns_dp_device_batch_end)
+
+        pending = None  # (glo, works, state)
+        for glo in range(0, len(starts), group):
+            works = prep_group(glo)
+            with trace.timed("cns.dp"):
+                state = cns_dp_device_batch_begin(
+                    [(w.merged, w.coverage, w.L) for w in works],
+                    read_type)
+            if pending is not None:
+                pglo, pworks, pstate = pending
+                with trace.timed("cns.dp"):
+                    cnss = cns_dp_device_batch_end(pstate, min_cov,
+                                                   lq_min_qv)
+                parts.extend(finish_group(pglo, pworks, cnss))
+            pending = (glo, works, state)
+        if pending is not None:
+            pglo, pworks, pstate = pending
+            with trace.timed("cns.dp"):
+                cnss = cns_dp_device_batch_end(pstate, min_cov, lq_min_qv)
+            parts.extend(finish_group(pglo, pworks, cnss))
+    else:
+        for glo in range(0, len(starts), group):
+            works = prep_group(glo)
+            with trace.timed("cns.dp"):
+                cnss = window_dp_batch(works, read_type, min_cov)
+            parts.extend(finish_group(glo, works, [c for c in cnss]))
     return stitch(parts, overlap, split=split,
                   split_ps=struct_ctx.split_ps)
