@@ -316,10 +316,15 @@ def main():
     names5, drafts5, batch5 = make_task5_case(rng)
     from nextpolish_tpu.models.ctg_cns import ctg_cns_contig
 
+    from nextpolish_tpu.runtime.overlap import pipelined_map
+
     def run_cns():
+        # contig-level pipelining, as the pipeline/worker2 run it
         out = []
-        for nm, dr in zip(names5, drafts5):
-            out.extend(ctg_cns_contig(nm, dr, batch5, "ont"))
+        for parts in pipelined_map(
+                lambda nd: ctg_cns_contig(nd[0], nd[1], batch5, "ont"),
+                list(zip(names5, drafts5)), depth=2):
+            out.extend(parts)
         return out
 
     if os.environ.get("NPT_CNS_ENGINE") is None:

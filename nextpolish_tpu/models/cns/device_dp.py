@@ -428,24 +428,33 @@ def _dispatch_batch_pallas(dws, read_type, cov_coef=None):
         adv = np.ones(len(col), dtype=np.uint8)
         adv[1:] = (dw.ent_lvl[1:] != dw.ent_lvl[:-1]).astype(np.uint8)
         P = _pow2(max(len(col), 1))
-        ent8 = np.full(P, 127, dtype=np.uint8)  # pad -> trash column
-        ent8[: len(col)] = (adv << 7) | col.astype(np.uint8)
         a = dw.ent_A
         if Vb != dw.Vb:
             a = a + (dw.ent_same.astype(np.int32) * ((Vb - dw.Vb) * 6)
                      << 8)
-        entA = np.zeros(P, dtype=np.int32)
-        entA[: len(col)] = a
-        entM = np.zeros(P, dtype=np.int32)
-        entM[: len(col)] = dw.ent_M
+        nc = len(col)
         meta = np.ones(NCL, dtype=np.int32)  # pad bit set
         meta[:Lt] = dw.meta
+        # one byte-planar buffer per window (see pallas_scan.get_level_scan)
+        buf = np.zeros(8 * P + 4 * NCL, dtype=np.uint8)
+        buf[:P] = 127  # pad -> trash column
+        buf[:nc] = (adv << 7) | col.astype(np.uint8)
+        a32 = np.zeros(P, dtype=np.uint32)
+        a32[:nc] = a.astype(np.uint32)
+        for pb in range(4):
+            buf[(1 + pb) * P:(2 + pb) * P] = (a32 >> (8 * pb)) & 0xFF
+        m32 = np.zeros(P, dtype=np.uint32)
+        m32[:nc] = dw.ent_M.astype(np.uint32)
+        for pb in range(3):
+            buf[(5 + pb) * P:(6 + pb) * P] = (m32 >> (8 * pb)) & 0xFF
+        mb = 8 * P
+        mu = meta.astype(np.uint32)
+        for pb in range(4):
+            buf[mb + pb * NCL:mb + (pb + 1) * NCL] = (mu >> (8 * pb)) & 0xFF
         fn = get_level_scan(E, Vb, rt_id, c, NCL, P)
         if len(devices) > 1:
-            dev = devices[wi % len(devices)]
-            ent8, entA, entM, meta = (
-                jax.device_put(x, dev) for x in (ent8, entA, entM, meta))
-        best_d, sc_d = fn(ent8, entA, entM, meta)
+            buf = jax.device_put(buf, devices[wi % len(devices)])
+        best_d, sc_d = fn(buf)
         try:
             best_d.copy_to_host_async()
         except AttributeError:

@@ -233,8 +233,9 @@ def get_level_scan(E, Vb, rt_id, cov_coef, NCL, P):
       entA[P]  int32: the packed A word;  entM[P] int32: match bits;
       meta[NCL] int32 (pad bit set past the real levels).
 
-    Returns f(ent8, entA, entM, meta) -> (best[NCL,6] int8,
-    sc[NCL,6] int32 device array — fetch only the slice you need)."""
+    Returns f(buf) -> (best[NCL,6] int8, sc[NCL,6] int32 device array —
+    fetch only the slice you need); buf is the single byte-planar uint8
+    buffer device_dp._dispatch_batch_pallas packs."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -251,11 +252,26 @@ def get_level_scan(E, Vb, rt_id, cov_coef, NCL, P):
     kern = partial(_kernel, E=E, Vb=Vb, rt_id=rt_id, cov_coef=cov_coef)
 
     @jax.jit
-    def run(ent8, entA, entM, meta):
+    def run(buf):
+        # ONE uint8 buffer crosses the link (4 separate transfers pay 4x
+        # the ~30 ms link latency), byte-planar so the tunnel's
+        # compression sees uniform lanes.  Layout:
+        #   [ent8(P) | entA planes b0..b3 (4P) | entM planes b0..b2 (3P)
+        #    | meta planes b0..b3 (4*NCL)]
+        ent8 = buf[:P]
         lvl = jnp.cumsum((ent8 >> 7).astype(jnp.int32)) - 1
         col = (ent8 & 0x7F).astype(jnp.int32)
         # padding entries carry col 127 -> the trash slot past the slab
         idx = jnp.where(col < 96, lvl * C6 + col, NCL * C6)
+        b = buf.astype(jnp.int32)
+        entA = (b[P:2 * P] | (b[2 * P:3 * P] << 8)
+                | (b[3 * P:4 * P] << 16) | (b[4 * P:5 * P] << 24))
+        entM = (b[5 * P:6 * P] | (b[6 * P:7 * P] << 8)
+                | (b[7 * P:8 * P] << 16))
+        mb = 8 * P
+        meta = (b[mb:mb + NCL] | (b[mb + NCL:mb + 2 * NCL] << 8)
+                | (b[mb + 2 * NCL:mb + 3 * NCL] << 16)
+                | (b[mb + 3 * NCL:mb + 4 * NCL] << 24))
         A = jnp.zeros((NCL * C6 + 1,), jnp.int32).at[idx].set(
             entA, unique_indices=True)[:NCL * C6].reshape(1, NCL, C6)
         M = jnp.zeros((NCL * C6 + 1,), jnp.int32).at[idx].set(

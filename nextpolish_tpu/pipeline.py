@@ -327,7 +327,15 @@ class Pipeline:
             raise ValueError(f"unknown task {task}")
 
         if engine is not None:
-            results = ((n, engine(n, genome.fetch(n).seq)) for n in todo)
+            from .runtime.overlap import pipelined_map
+
+            # contig-level pipelining: one contig's host prep overlaps
+            # another's device scans (Pool.imap_unordered role,
+            # lib/nextpolish1.py:223-224 / nextpolish2.py:192-194)
+            depth = 2 if task in (5, 6) else 1
+            results = pipelined_map(
+                lambda n: (n, engine(n, genome.fetch(n).seq)), todo,
+                depth=depth)
         mode = "ab" if done else "wb"
         with open(outfile, mode) as out:
             for name, seq in results:

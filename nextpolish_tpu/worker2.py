@@ -89,15 +89,19 @@ def main(argv=None):
         out = open(args.out, "ab" if done else "wb")
     else:
         out = sys.stdout.buffer
-    for name in genome.names:
-        if name in done:
-            log.warning("Skip polished seq: %s", name)
-            continue
+    def polish_one(name):
         rec = genome.fetch(name)
-        parts = ctg_cns_contig(name, rec.seq, batch,
-                               args.read_type, split=1 if args.split else 0,
-                               window=window,
-                               qv_desc=rec.comment or None)
+        return ctg_cns_contig(name, rec.seq, batch,
+                              args.read_type, split=1 if args.split else 0,
+                              window=window,
+                              qv_desc=rec.comment or None)
+
+    from .runtime.overlap import pipelined_map
+
+    todo = [n for n in genome.names if n not in done]
+    for name in done & set(genome.names):
+        log.warning("Skip polished seq: %s", name)
+    for name, parts in zip(todo, pipelined_map(polish_one, todo, depth=2)):
         for pname, seq in parts:
             if len(seq) <= 10:
                 log.critical("polished seq %s is too short (%d bp)",
