@@ -436,7 +436,8 @@ def _dispatch_batch_pallas(dws, read_type, cov_coef=None):
         meta = np.ones(NCL, dtype=np.int32)  # pad bit set
         meta[:Lt] = dw.meta
         # one byte-planar buffer per window (see pallas_scan.get_level_scan)
-        buf = np.zeros(8 * P + 4 * NCL, dtype=np.uint8)
+        MPL = (E + 7) // 8  # match-bit planes
+        buf = np.zeros((5 + MPL) * P + 4 * NCL, dtype=np.uint8)
         buf[:P] = 127  # pad -> trash column
         buf[:nc] = (adv << 7) | col.astype(np.uint8)
         a32 = np.zeros(P, dtype=np.uint32)
@@ -445,9 +446,9 @@ def _dispatch_batch_pallas(dws, read_type, cov_coef=None):
             buf[(1 + pb) * P:(2 + pb) * P] = (a32 >> (8 * pb)) & 0xFF
         m32 = np.zeros(P, dtype=np.uint32)
         m32[:nc] = dw.ent_M.astype(np.uint32)
-        for pb in range(3):
+        for pb in range(MPL):
             buf[(5 + pb) * P:(6 + pb) * P] = (m32 >> (8 * pb)) & 0xFF
-        mb = 8 * P
+        mb = (5 + MPL) * P
         mu = meta.astype(np.uint32)
         for pb in range(4):
             buf[mb + pb * NCL:mb + (pb + 1) * NCL] = (mu >> (8 * pb)) & 0xFF

@@ -266,9 +266,12 @@ def get_level_scan(E, Vb, rt_id, cov_coef, NCL, P):
         b = buf.astype(jnp.int32)
         entA = (b[P:2 * P] | (b[2 * P:3 * P] << 8)
                 | (b[3 * P:4 * P] << 16) | (b[4 * P:5 * P] << 24))
-        entM = (b[5 * P:6 * P] | (b[6 * P:7 * P] << 8)
-                | (b[7 * P:8 * P] << 16))
-        mb = 8 * P
+        # match bits need ceil(E/8) byte planes (E <= 16 -> 2)
+        MPL = (E + 7) // 8
+        entM = b[5 * P:6 * P]
+        for pb in range(1, MPL):
+            entM = entM | (b[(5 + pb) * P:(6 + pb) * P] << (8 * pb))
+        mb = (5 + MPL) * P
         meta = (b[mb:mb + NCL] | (b[mb + NCL:mb + 2 * NCL] << 8)
                 | (b[mb + 2 * NCL:mb + 3 * NCL] << 16)
                 | (b[mb + 3 * NCL:mb + 4 * NCL] << 24))

@@ -48,15 +48,27 @@ class CellIndex:
     n_cells_dp: int  # cells the chain DP covers: up to cell_of[end] inclusive
 
     def cell_pos(self) -> np.ndarray:
-        """For each cell, its anchor reference position (inserts -> anchor)."""
+        """For each cell, its anchor reference position (inserts -> anchor).
+        Memoized: link-walk callers ask per read and the index is
+        immutable once built (snp_phase walks were O(reads x L) without
+        this)."""
+        cached = getattr(self, "_cell_pos_cache", None)
+        if cached is not None:
+            return cached
         pos = np.zeros(self.n_cells, dtype=np.int64)
         pos[self.cell_of] = 1
         pos[0] = 0
-        return np.cumsum(pos) + self.start
+        out = np.cumsum(pos) + self.start
+        self._cell_pos_cache = out
+        return out
 
     def is_insert_cell(self) -> np.ndarray:
+        cached = getattr(self, "_ins_cell_cache", None)
+        if cached is not None:
+            return cached
         m = np.ones(self.n_cells, dtype=bool)
         m[self.cell_of] = False
+        self._ins_cell_cache = m
         return m
 
     def region_view(self, s: int, e: int) -> "CellIndex":
