@@ -46,12 +46,19 @@ def _band_align_core(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
     returned score still includes the 5' bonus; band_align_ops subtracts
     it once the traceback shows the path reached query base 0.
 
+    mode="extend" gives ksw extension semantics (the *_extend role of
+    bwa/minimap2): the path is pinned at query base 0 / ref offset 0
+    (gap penalties decay from the corner via the clip5 pin bonus), the
+    end is free (best cell anywhere), and band_align_ops subtracts the
+    pin bonus from the reported score.
+
     Returns (tb [Bt, R, B] uint8, best score, end row, end col per read).
     """
     Bt, R = q.shape
     B = t.shape[1] - R
     cidx = jnp.arange(B)
-    local = mode == "local"
+    extend = mode == "extend"
+    local = mode == "local" or extend
     off = 0 if local else B // 2
 
     def row(carry, qi_i):
@@ -109,7 +116,14 @@ def _band_align_core(q, t, qlen, tlen, match=1, mismatch=4, gapo=6, gape=1,
         Hfin = jnp.where((i == qlen - 1)[:, None], H, Hfin)
         return (H, E, Hfin, i + 1), (tb, best, argc)
 
-    if local:
+    if extend:
+        # pin the start at the window corner: ref offsets > 0 open a
+        # deletion from the anchor (gap decay), so spurious free-start
+        # deletions cost what they should
+        H0 = jnp.where(cidx[None, :] == 0, clip5,
+                       clip5 - (gapo + cidx[None, :] * gape)
+                       ).astype(jnp.int32).repeat(Bt, 0)
+    elif local:
         H0 = jnp.full((Bt, B), clip5, jnp.int32)
     else:
         # virtual row i=-1: j = c - 1 - off; 0 at j=-1, leading-deletion
@@ -234,7 +248,7 @@ def band_align_ops(q_codes: np.ndarray, t_codes: np.ndarray, qlen: np.ndarray,
         qlen = np.concatenate([qlen, np.zeros(nb - n, qlen.dtype)])
         tlen = np.concatenate([tlen, np.ones(nb - n, tlen.dtype)])
     B = t_codes.shape[1] - q_codes.shape[1]
-    off = 0 if mode == "local" else B // 2
+    off = B // 2 if mode == "global" else 0
     out = _band_align_ops(
         jnp.asarray(q_codes), jnp.asarray(t_codes),
         jnp.asarray(qlen, dtype=jnp.int32), jnp.asarray(tlen, dtype=jnp.int32),
@@ -259,7 +273,7 @@ def band_align_ops(q_codes: np.ndarray, t_codes: np.ndarray, qlen: np.ndarray,
         j_lo = j_lo - lead_del
     else:
         lead_del = np.zeros(n, dtype=np.int64)
-    if mode == "local" and clip5:
+    if mode in ("local", "extend") and clip5:
         # the +clip5 start-anchor bonus is not part of the real score
         sc = sc - np.where(i_lo == 0, clip5, 0)
     return ops, sc, i_lo, j_lo, i_hi, j_hi, lead_del
@@ -306,7 +320,7 @@ def traceback_batch(tb: np.ndarray, end_i: np.ndarray, end_c: np.ndarray,
     In global mode ref index j = i + c - B//2 and lead_del counts leading
     deletions implied by finishing left of the virtual origin."""
     Bt, R, B = tb.shape
-    off = 0 if mode == "local" else B // 2
+    off = B // 2 if mode == "global" else 0
     i = end_i.astype(np.int64).copy()
     c = end_c.astype(np.int64).copy()
     state = np.zeros(Bt, dtype=np.int8)  # 0=H, 1=E, 2=F

@@ -255,6 +255,8 @@ def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
         skels[i] = (sk, qa, qe, ra, re_)
 
     seg_ops = _run_segments(idx, jobs, chains, match, mismatch, gapo, gape)
+    head_ext, tail_ext = _run_end_extensions(idx, chains, skels, match,
+                                             mismatch, gapo, gape)
 
     # assemble one candidate record per part
     part_recs = [None] * np_parts
@@ -289,14 +291,36 @@ def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
         if not ok:
             continue
         L = codes.size
+        # splice the read-end extensions around the anchored runs
+        qa_eff, ra_eff, qe_eff, re_eff = qa, ra, qe, re_
+        h = head_ext.get(i)
+        t_ = tail_ext.get(i)
+        parts_ops = []
+        if h:
+            parts_ops.extend(h[0])
+            qa_eff -= h[1]
+            ra_eff -= h[2]
+        parts_ops.extend((op, ln) for op, ln in runs)
+        if t_:
+            parts_ops.extend(t_[0])
+            qe_eff += t_[1]
+            re_eff += t_[2]
+        merged = []
+        for op, ln in parts_ops:
+            if ln <= 0:
+                continue
+            if merged and merged[-1][0] == op:
+                merged[-1][1] += ln
+            else:
+                merged.append([op, ln])
         cig = []
-        if qa > 0:
-            cig.append((qa << 4) | _S)
-        cig.extend((ln << 4) | op for op, ln in runs)
-        if L - qe > 0:
-            cig.append(((L - qe) << 4) | _S)
-        tid, pos = idx.global_to_contig(np.array([ra]))
-        tid2, _ = idx.global_to_contig(np.array([re_ - 1]))
+        if qa_eff > 0:
+            cig.append((qa_eff << 4) | _S)
+        cig.extend((ln << 4) | op for op, ln in merged)
+        if L - qe_eff > 0:
+            cig.append(((L - qe_eff) << 4) | _S)
+        tid, pos = idx.global_to_contig(np.array([ra_eff]))
+        tid2, _ = idx.global_to_contig(np.array([re_eff - 1]))
         if tid[0] != tid2[0]:
             continue
         mapq = min(60, int(cq.size) // 2)
@@ -339,6 +363,87 @@ def _pick_bucket(gq: int, gr: int):
         if gq <= cap and abs(gq - gr) < band // 2 - 4 and gr <= cap + band // 2 - 4:
             return bi
     return None
+
+
+EXT_CAP = 1000  # longest read-end extension (longer tails are split parts)
+EXT_BAND = 64
+EXT_PIN = 1 << 20  # start-pin bonus for mode="extend"
+
+
+def _run_end_extensions(idx: GenomeIndex, chains, skels, match, mismatch,
+                        gapo, gape):
+    """Extend every part from its outermost anchors to the read ends
+    (the ksw right/left extensions of minimap2's alignment stage; the
+    chain alone soft-clips at the anchors).  Returns per-part
+    (ops_fwd, q_used, r_used) dicts for heads and tails; ref windows
+    clamp to the part's contig so edge reads align clipped at the
+    boundary."""
+    heads = {}
+    tails = {}
+    jobs = []  # (part, side, q_codes, ref_lo, ref_hi, reversed)
+    for i, sk in enumerate(skels):
+        if sk is None:
+            continue
+        _, qa, qe, ra, re_ = sk
+        _, strand, cq, cr, codes = chains[i]
+        mid = min(max(ra, 0), idx.codes.size - 1)
+        cid, _ = idx.global_to_contig(np.array([mid]))
+        g0 = int(idx.starts[int(cid[0])])
+        g1 = g0 + int(idx.lengths[int(cid[0])])
+        L = codes.size
+        if qa > 0:
+            n = min(qa, EXT_CAP)
+            qh = codes[qa - n:qa][::-1]
+            lo = max(ra - (n + EXT_BAND), g0)
+            jobs.append((i, 0, qh, lo, min(ra, g1), True))
+        if L - qe > 0:
+            n = min(L - qe, EXT_CAP)
+            qt = codes[qe:qe + n]
+            hi = min(re_ + n + EXT_BAND, g1)
+            jobs.append((i, 1, qt, max(re_, g0), hi, False))
+    if not jobs:
+        return heads, tails
+    R = max(len(j[2]) for j in jobs)
+    W = R + EXT_BAND
+    q = np.full((len(jobs), R), 4, dtype=np.uint8)
+    t = np.full((len(jobs), W), 4, dtype=np.uint8)
+    qlen = np.zeros(len(jobs), dtype=np.int32)
+    tlen = np.zeros(len(jobs), dtype=np.int32)
+    for b, (i, side, qc, lo, hi, rev) in enumerate(jobs):
+        q[b, : len(qc)] = qc
+        qlen[b] = len(qc)
+        seg = idx.codes[lo:hi]
+        if rev:
+            seg = seg[::-1]
+        t[b, : len(seg)] = seg
+        tlen[b] = len(seg)
+    ops, sc, i_lo, j_lo, i_hi, j_hi, _ = band_align_ops(
+        q, t, qlen, tlen, match=match, mismatch=mismatch, gapo=gapo,
+        gape=gape, mode="extend", clip5=EXT_PIN)
+    for b, (i, side, qc, lo, hi, rev) in enumerate(jobs):
+        if int(sc[b]) <= 0 or int(i_lo[b]) != 0:
+            continue
+        row = ops[b]
+        o = (row[row > 0] - 1)[::-1]  # start->end of the extension walk
+        q_used = int(i_hi[b]) + 1
+        r_used = int(j_hi[b]) + 1
+        jl = int(j_lo[b])
+        runs = []
+        if jl > 0:  # leading deletion away from the anchor
+            runs.append((_D, jl))
+        if o.size:
+            change = np.flatnonzero(np.diff(o) != 0)
+            bounds = np.concatenate([[-1], change, [o.size - 1]])
+            for a2, b2 in zip(bounds[:-1], bounds[1:]):
+                runs.append((int(o[a2 + 1]), int(b2 - a2)))
+        if side == 0:
+            # head: walked on reversed sequences; flip run order so ops
+            # read left-to-right in the original orientation
+            heads[i] = ([(op, ln) for op, ln in reversed(runs)], q_used,
+                        r_used)
+        else:
+            tails[i] = (runs, q_used, r_used)
+    return heads, tails
 
 
 def _run_segments(idx: GenomeIndex, jobs, chains, match, mismatch, gapo, gape):

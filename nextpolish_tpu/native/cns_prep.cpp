@@ -10,6 +10,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -95,21 +96,49 @@ NptCnsPrep* npt_cns_prepare(
     Msa msa(length);
 
     // ---- update_msa with first-occurrence order ----
-    for (int64_t r = 0; r < n_rows; r++) {
-        int64_t pp = KEY_HEAD, ppp = KEY_HEAD;
-        for (int64_t i = row_off[r]; i < row_off[r + 1]; i++) {
-            Cell& c = msa.at(t_pos[i], delta_[i], q_base[i]);
-            bool updated = false;
-            for (auto& e : c.e) {
-                if (e.pp == pp && e.ppp == ppp) {
-                    e.link++;
-                    updated = true;
-                    break;
+    // Threaded over position ranges: every thread walks every row (the
+    // rolling pp/ppp state is cheap) but only touches cells in its own
+    // range, so per-cell entry lists — and their insertion order — are
+    // identical to the serial walk.
+    {
+        int T = (int)std::thread::hardware_concurrency();
+        if (T < 1) T = 1;
+        if (T > 4) T = 4;
+        const int64_t total_cols = row_off[n_rows];
+        if (total_cols < 200000) T = 1;
+        auto build = [&](int64_t p_lo, int64_t p_hi) {
+            for (int64_t r = 0; r < n_rows; r++) {
+                int64_t pp = KEY_HEAD, ppp = KEY_HEAD;
+                for (int64_t i = row_off[r]; i < row_off[r + 1]; i++) {
+                    const int64_t tp = t_pos[i];
+                    if (tp >= p_lo && tp < p_hi) {
+                        Cell& c = msa.at(tp, delta_[i], q_base[i]);
+                        bool updated = false;
+                        for (auto& e : c.e) {
+                            if (e.pp == pp && e.ppp == ppp) {
+                                e.link++;
+                                updated = true;
+                                break;
+                            }
+                        }
+                        if (!updated) c.e.push_back(Entry{pp, ppp, i, 1});
+                    }
+                    ppp = pp;
+                    pp = pack_key(tp, delta_[i], q_base[i]);
                 }
             }
-            if (!updated) c.e.push_back(Entry{pp, ppp, i, 1});
-            ppp = pp;
-            pp = pack_key(t_pos[i], delta_[i], q_base[i]);
+        };
+        if (T == 1) {
+            build(0, length);
+        } else {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < T; t++) {
+                const int64_t lo = length * t / T;
+                const int64_t hi = length * (t + 1) / T;
+                if (t == T - 1) build(lo, hi);
+                else ths.emplace_back(build, lo, hi);
+            }
+            for (auto& th : ths) th.join();
         }
     }
 
