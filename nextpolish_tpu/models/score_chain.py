@@ -307,11 +307,12 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
             nxt = next(it, None)
             fut = pool.submit(prep, *nxt) if nxt is not None else None
             pending.append((name, h))
-            # results are fetched >= two contigs behind their dispatch,
-            # giving the device scan + host copy two full prep slots to
-            # stream back before anyone blocks on them; with several
-            # chips the window deepens so every chip holds a contig
-            if len(pending) > max(2, len(devices)):
+            # results are fetched several contigs behind their dispatch,
+            # giving the device scan + host copy a few full prep slots
+            # (~50 ms each) to stream back before anyone blocks on them;
+            # with several chips the window deepens so every chip holds
+            # a contig
+            if len(pending) > max(4, 2 * len(devices)):
                 pname, ph = pending.popleft()
                 yield pname, score_chain_contig_end(ph)
         while pending:
