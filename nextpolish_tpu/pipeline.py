@@ -444,16 +444,43 @@ def read_polished_names(outfile: str) -> set:
     return set(names[:-1])
 
 
-def mark_duplicates(recs: list, state: dict | None = None) -> list:
-    """Remove PCR duplicates: proper pairs sharing (tid, fragment start/end,
-    orientation) keep only the first (samtools markdup -r role,
-    source/nextPolish:119-156).
+def _unclipped5(rec) -> int:
+    """Unclipped 5' fragment end (samtools markdup's coordinate): leading
+    clips extend a forward read's start leftward; trailing clips extend a
+    reverse read's end rightward."""
+    cig = rec["cigar"]
+    if not len(cig):
+        return int(rec["pos"])
+    ops = cig & 0xF
+    lens = (cig >> 4).astype(np.int64)
+    if rec["flag"] & bamio.FREVERSE:
+        ref_len = int((lens * bamio.CONSUMES_R[ops]).sum())
+        tail = 0
+        j = len(cig) - 1
+        while j >= 0 and ops[j] in (4, 5):
+            tail += int(lens[j])
+            j -= 1
+        return int(rec["pos"]) + ref_len - 1 + tail
+    head = 0
+    j = 0
+    while j < len(cig) and ops[j] in (4, 5):
+        head += int(lens[j])
+        j += 1
+    return int(rec["pos"]) - head
 
-    `state` carries the seen-key set across chunks so chunked (spilled)
+
+def mark_duplicates(recs: list, state: dict | None = None) -> list:
+    """Remove PCR duplicates (samtools markdup -r role,
+    source/nextPolish:119-156): fragments sharing unclipped-5' coordinates
+    keep only the first.  Both-mapped pairs key on (tid, 5'1, mtid, 5'2,
+    orientation) regardless of properness — at contig edges and collapsed
+    repeats the clipped raw positions differ while the true fragments
+    collide, which is exactly where markdup matters; mate-unmapped reads
+    dedup on their single-end (tid, 5', strand).
+
+    `state` carries the seen-key sets across chunks so chunked (spilled)
     processing drops exactly the records a whole-input pass would — mates
     always share a chunk (chunk sizes are even and pairs adjacent)."""
-    # mate lookup by read name (records may include secondaries or be
-    # reordered, so positional adjacency is not reliable)
     primary_by_name: dict = {}
     for i, r in enumerate(recs):
         if not (r["flag"] & (bamio.FSECONDARY | bamio.FSUPPLEMENTARY)):
@@ -461,19 +488,39 @@ def mark_duplicates(recs: list, state: dict | None = None) -> list:
     if state is None:
         state = {}
     seen = state.setdefault("seen", set())
+    seen_se = state.setdefault("seen_se", set())
     drop = set()
+    u5 = {}
+
+    def u5_of(i):
+        if i not in u5:
+            u5[i] = _unclipped5(recs[i])
+        return u5[i]
+
     for i, r in enumerate(recs):
-        if r["tid"] < 0 or not (r["flag"] & bamio.FPROPER):
+        if r["tid"] < 0 or (r["flag"]
+                            & (bamio.FSECONDARY | bamio.FSUPPLEMENTARY)):
             continue
-        if r["flag"] & bamio.FREAD2:
-            continue  # key on read1 only; drop both mates together
-        key = (r["tid"], r["pos"], r["mtid"], r["mpos"],
-               r["flag"] & (bamio.FREVERSE | bamio.FMREVERSE))
-        if key in seen:
-            for j in primary_by_name.get(r.get("name"), (i,)):
-                drop.add(j)
+        mates = primary_by_name.get(r.get("name"), [])
+        mate = next((j for j in mates if j != i), None)
+        both = (mate is not None and recs[mate]["tid"] >= 0
+                and (r["flag"] & bamio.FPAIRED))
+        if both:
+            if r["flag"] & bamio.FREAD2:
+                continue  # key on read1 only; drop both mates together
+            key = (r["tid"], u5_of(i), recs[mate]["tid"], u5_of(mate),
+                   r["flag"] & (bamio.FREVERSE | bamio.FMREVERSE))
+            if key in seen:
+                for j in mates:
+                    drop.add(j)
+            else:
+                seen.add(key)
         else:
-            seen.add(key)
+            key_se = (r["tid"], u5_of(i), r["flag"] & bamio.FREVERSE)
+            if key_se in seen_se:
+                drop.add(i)
+            else:
+                seen_se.add(key_se)
     if drop:
         log.info("markdup: removed %d duplicate records", len(drop))
     return [r for i, r in enumerate(recs) if i not in drop]
