@@ -295,17 +295,28 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
 
     from collections import deque
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    # two prep workers: finish-side host work is now tiny, so the main
+    # thread mostly waits — a second walker keeps both cores busy (the
+    # native walker releases the GIL)
+    with ThreadPoolExecutor(max_workers=2) as pool:
         it = iter(names_seqs)
-        nxt = next(it, None)
-        fut = pool.submit(prep, *nxt) if nxt is not None else None
+        # two preps in flight on in-memory batches; a streaming source
+        # (IndexedBam) shares one file handle + block cache, so its
+        # fetches must not run concurrently
+        prep_depth = 1 if streaming else 2
+        futq: deque = deque()
+        for nxt in it:
+            futq.append((nxt[0], pool.submit(prep, *nxt)))
+            if len(futq) >= prep_depth:
+                break
         pending: deque = deque()  # (name, handle) with DP in flight
-        while fut is not None:
-            name = nxt[0]
+        while futq:
+            name, fut = futq.popleft()
             h = fut.result()  # prep of this contig (DP now dispatched)
             start_host_copy(h[3])
             nxt = next(it, None)
-            fut = pool.submit(prep, *nxt) if nxt is not None else None
+            if nxt is not None:
+                futq.append((nxt[0], pool.submit(prep, *nxt)))
             pending.append((name, h))
             # results are fetched several contigs behind their dispatch,
             # giving the device scan + host copy a few full prep slots

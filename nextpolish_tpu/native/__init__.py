@@ -256,7 +256,12 @@ def cns_dp(t_pos, delta, q_base, row_off, coverage, length: int,
 # the caller falls back to the numpy event-expansion path
 PILEUP_DENSE_BYTES = int(os.environ.get("NPT_PILEUP_DENSE_BYTES",
                                         8 << 30))
-_PILEUP_SCRATCH = None  # persistent all-zero count table (grow-only)
+import threading as _threading
+
+# persistent all-zero count table (grow-only), PER THREAD: the task-1
+# pipeline preps two contigs concurrently and the walker scribbles into
+# this scratch
+_PILEUP_TLS = _threading.local()
 
 
 def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
@@ -268,7 +273,6 @@ def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
     per-thread read subranges; the default disables the bound).  Returns
     sorted sparse (uk int64, cn int64, rk uint16 first-observation ranks,
     totals int32) or None when unavailable / too big."""
-    global _PILEUP_SCRATCH
     lib = _load()
     if lib is None or not hasattr(lib, "npt_pileup_sgs"):
         return None
@@ -290,9 +294,11 @@ def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
     lqseq = np.ascontiguousarray(lqseq, dtype=np.int32)
     if refkmer is not None:
         refkmer = np.ascontiguousarray(refkmer, dtype=np.int32)
-    if _PILEUP_SCRATCH is None or len(_PILEUP_SCRATCH) < n_cells * 512:
-        _PILEUP_SCRATCH = np.zeros(n_cells * 512, dtype=np.uint16)
-    counts = _PILEUP_SCRATCH
+    scratch = getattr(_PILEUP_TLS, "scratch", None)
+    if scratch is None or len(scratch) < n_cells * 512:
+        scratch = np.zeros(n_cells * 512, dtype=np.uint16)
+        _PILEUP_TLS.scratch = scratch
+    counts = scratch
     totals = np.zeros(n_cells, dtype=np.int32)
     out_uk = ctypes.POINTER(ctypes.c_int64)()
     out_cn = ctypes.POINTER(ctypes.c_int64)()
