@@ -258,10 +258,12 @@ PILEUP_DENSE_BYTES = int(os.environ.get("NPT_PILEUP_DENSE_BYTES",
                                         8 << 30))
 import threading as _threading
 
-# persistent all-zero count table (grow-only), PER THREAD: the task-1
-# pipeline preps two contigs concurrently and the walker scribbles into
-# this scratch
-_PILEUP_TLS = _threading.local()
+# persistent all-zero count tables (grow-only), checked out under a lock:
+# the task-1 pipeline preps two contigs concurrently, and per-thread
+# storage would die with each pipeline's thread pool (re-faulting ~100 MB
+# per run)
+_PILEUP_POOL: list = []
+_PILEUP_LOCK = _threading.Lock()
 
 
 def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
@@ -294,10 +296,10 @@ def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
     lqseq = np.ascontiguousarray(lqseq, dtype=np.int32)
     if refkmer is not None:
         refkmer = np.ascontiguousarray(refkmer, dtype=np.int32)
-    scratch = getattr(_PILEUP_TLS, "scratch", None)
+    with _PILEUP_LOCK:
+        scratch = _PILEUP_POOL.pop() if _PILEUP_POOL else None
     if scratch is None or len(scratch) < n_cells * 512:
         scratch = np.zeros(n_cells * 512, dtype=np.uint16)
-        _PILEUP_TLS.scratch = scratch
     counts = scratch
     totals = np.zeros(n_cells, dtype=np.int32)
     out_uk = ctypes.POINTER(ctypes.c_int64)()
@@ -330,6 +332,8 @@ def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
         for ptr in (out_uk, out_cn, out_rk):
             if ptr:
                 lib.npt_cns_free(ptr)
+        with _PILEUP_LOCK:
+            _PILEUP_POOL.append(counts)
     return uk, cn, rk.astype(np.uint16), totals
 
 
