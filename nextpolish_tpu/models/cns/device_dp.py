@@ -368,6 +368,14 @@ def _get_scan(E, Vb, rt_id, cov_coef):
     return fn
 
 
+def _pallas_ok(dws) -> bool:
+    """Pallas path: enabled backend + every window under the col-byte cap
+    (E > MAX_PALLAS_E falls back to the chunked lax.scan)."""
+    from .pallas_scan import MAX_PALLAS_E
+
+    return _use_pallas() and max(dw.E for dw in dws) <= MAX_PALLAS_E
+
+
 def _use_pallas() -> bool:
     """The pallas level-scan kernel runs on real TPU backends; CPU (tests,
     virtual meshes) uses the lax.scan path.  NPT_CNS_PALLAS=0/1 forces."""
@@ -384,101 +392,145 @@ def _use_pallas() -> bool:
         return False
 
 
-def _run_batch_pallas(dws, read_type, cov_coef=None, sc_tail=False):
-    """Pallas-kernel scans over DenseWindows (compact entry streams over
-    the wire; e-major packing — see pallas_scan.py).  All windows are
-    dispatched before any result is fetched, so the device pipelines them.
+B_MAX = int(_os.environ.get("NPT_CNS_PALLAS_B", "8"))
 
-    With sc_tail=True, only the last position's levels of the score output
-    cross back (all a traceback needs); earlier levels read NEG."""
+
+def _run_batch_pallas(dws, read_type, cov_coef=None, sc_tail=False):
+    """Pallas-kernel scans over DenseWindows: windows are grouped B per
+    launch (lane-packed — see pallas_scan.py) and all groups dispatch
+    before any result is fetched, so the device pipelines them.
+
+    With sc_tail=True, only each window's last-position score levels cross
+    back (all a traceback needs); earlier levels read NEG."""
     return _collect_batch_pallas(
         _dispatch_batch_pallas(dws, read_type, cov_coef), sc_tail=sc_tail)
 
 
 def _dispatch_batch_pallas(dws, read_type, cov_coef=None):
-    """Pack + launch every window's pallas scan (async); returns pending
-    handles for _collect_batch_pallas."""
-    from .pallas_scan import CL, get_level_scan
-
-    rt_id = READ_TYPE_ID[read_type]
-    c = COV_COEF[read_type] if cov_coef is None else cov_coef
-    E = min(x for x in (8, 12, 16, 20, 24)
-            if x >= max(dw.E for dw in dws))
-    Vb = min(x for x in (8, 16, 24)
-             if x >= max(dw.Vb for dw in dws))
+    """Pack + launch the windows' pallas scans, B windows per launch
+    (async); returns pending handles for _collect_batch_pallas."""
     import jax
 
-    # window-level device parallelism: round-robin windows over every
+    # chip-level window parallelism: round-robin window groups over every
     # local chip (windows are the reference's batch axis,
     # lib/ctg_cns.c:3455-3594; chips take the place of worker processes).
     # CPU keeps one device unless the multi-device test forces it.
-    import os as _os
-
     devices = jax.devices()
     if jax.default_backend() == "cpu" and \
             _os.environ.get("NPT_MULTIDEV") != "1":
         devices = devices[:1]
+    rt_id = READ_TYPE_ID[read_type]
+    c = COV_COEF[read_type] if cov_coef is None else cov_coef
     pend = []
-    for wi, dw in enumerate(dws):
-        Lt = dw.n_levels
-        # pow2 chunk-count buckets: jit shapes come from a small set, so
-        # windows of any length reuse the same compiled kernel
-        NCL = _pow2(-(-Lt // CL)) * CL
-        col = dw.ent_slot.astype(np.int32) * 6 + dw.ent_b  # e-major
-        adv = np.ones(len(col), dtype=np.uint8)
-        adv[1:] = (dw.ent_lvl[1:] != dw.ent_lvl[:-1]).astype(np.uint8)
-        P = _pow2(max(len(col), 1))
-        a = dw.ent_A
-        if Vb != dw.Vb:
-            a = a + (dw.ent_same.astype(np.int32) * ((Vb - dw.Vb) * 6)
-                     << 8)
-        nc = len(col)
-        meta = np.ones(NCL, dtype=np.int32)  # pad bit set
-        meta[:Lt] = dw.meta
-        # one byte-planar buffer per window (see pallas_scan.get_level_scan)
-        MPL = (E + 7) // 8  # match-bit planes
-        buf = np.zeros((5 + MPL) * P + 4 * NCL, dtype=np.uint8)
-        buf[:P] = 127  # pad -> trash column
-        buf[:nc] = (adv << 7) | col.astype(np.uint8)
-        a32 = np.zeros(P, dtype=np.uint32)
-        a32[:nc] = a.astype(np.uint32)
-        for pb in range(4):
-            buf[(1 + pb) * P:(2 + pb) * P] = (a32 >> (8 * pb)) & 0xFF
-        m32 = np.zeros(P, dtype=np.uint32)
-        m32[:nc] = dw.ent_M.astype(np.uint32)
-        for pb in range(MPL):
-            buf[(5 + pb) * P:(6 + pb) * P] = (m32 >> (8 * pb)) & 0xFF
-        mb = (5 + MPL) * P
-        mu = meta.astype(np.uint32)
-        for pb in range(4):
-            buf[mb + pb * NCL:mb + (pb + 1) * NCL] = (mu >> (8 * pb)) & 0xFF
-        fn = get_level_scan(E, Vb, rt_id, c, NCL, P)
-        if len(devices) > 1:
-            buf = jax.device_put(buf, devices[wi % len(devices)])
-        best_d, sc_d = fn(buf)
-        try:
-            best_d.copy_to_host_async()
-        except AttributeError:
-            pass
-        pend.append((dw, Lt, best_d, sc_d))
+    for gi, glo in enumerate(range(0, len(dws), B_MAX)):
+        chunk = dws[glo:glo + B_MAX]
+        pend.append(_dispatch_group(chunk, rt_id, c,
+                                    devices[gi % len(devices)]))
     return pend
 
 
+def _dispatch_group(chunk, rt_id, c, device):
+    """ONE buffer, ONE launch for up to B_MAX windows."""
+    import jax
+
+    from .pallas_scan import PAD_COL, TAIL, choose_cl, get_level_scan
+
+    from .pallas_scan import size_bucket
+
+    E = min(x for x in (8, 12, 16, 20)
+            if x >= max(dw.E for dw in chunk))
+    Vb = min(x for x in (4, 8, 16, 24)
+             if x >= max(dw.Vb for dw in chunk))
+    B = min(x for x in (1, 2, 4, 8, 16, 32)
+            if x >= len(chunk))
+    CL = choose_cl(E, Vb, B)
+    Lts = [dw.n_levels for dw in chunk]
+    NCL = size_bucket(-(-max(Lts) // CL)) * CL
+    P = size_bucket(max(len(dw.ent_b) for dw in chunk))
+    MPL = (E + 7) // 8
+    PB = B * P
+    buf = np.zeros((5 + MPL) * PB + 4 * NCL * B, dtype=np.uint8)
+    buf[:PB] = PAD_COL
+    meta_arr = np.ones((NCL, B), dtype=np.uint32)  # pad bit set
+    l0 = np.zeros(B, dtype=np.int32)
+    for wb, dw in enumerate(chunk):
+        nc = len(dw.ent_b)
+        col = dw.ent_slot.astype(np.int32) * 6 + dw.ent_b
+        adv = np.ones(nc, dtype=np.uint8)
+        adv[1:] = (dw.ent_lvl[1:] != dw.ent_lvl[:-1]).astype(np.uint8)
+        a = dw.ent_A
+        if Vb != dw.Vb:
+            # re-base same-position pred indices past the wider ring
+            a = a + (dw.ent_same.astype(np.int32) * ((Vb - dw.Vb) * 6)
+                     << 8)
+        o = wb * P
+        buf[o:o + nc] = (adv << 7) | col.astype(np.uint8)
+        a32 = a.astype(np.uint32)
+        for pb in range(4):
+            buf[(1 + pb) * PB + o:(1 + pb) * PB + o + nc] = \
+                (a32 >> (8 * pb)) & 0xFF
+        m32 = dw.ent_M.astype(np.uint32)
+        for pb in range(MPL):
+            buf[(5 + pb) * PB + o:(5 + pb) * PB + o + nc] = \
+                (m32 >> (8 * pb)) & 0xFF
+        meta_arr[:Lts[wb], wb] = dw.meta
+        lp = dw.level_pos
+        l0[wb] = int(np.searchsorted(lp, lp[-1]))
+    mb = (5 + MPL) * PB
+    mf = meta_arr.ravel()
+    NB_ = NCL * B
+    for pb in range(4):
+        buf[mb + pb * NB_:mb + (pb + 1) * NB_] = (mf >> (8 * pb)) & 0xFF
+    fn = get_level_scan(E, Vb, rt_id, c, NCL, P, B)
+    if device is not None:
+        buf = jax.device_put(buf, device)
+        l0d = jax.device_put(l0, device)
+    else:
+        l0d = l0
+    packed_d, sc_d = fn(buf, l0d)
+    try:
+        packed_d.copy_to_host_async()
+    except AttributeError:
+        pass
+    return chunk, Lts, l0, NCL, min(TAIL, NCL), B, E, packed_d, sc_d
+
+
 def _collect_batch_pallas(pend, sc_tail=False):
-    """Fetch the pending pallas results -> per-window (best, sc)."""
+    """Fetch the pending pallas results -> per-window (best, sc).
+    One transfer per group: the packed byte buffer carries the bit-packed
+    winners and every window's score tail."""
     from .pallas_scan import NEG
 
     out = []
-    for dw, Lt, best_d, sc_d in pend:
-        best = np.asarray(best_d)[:Lt]
-        if sc_tail:
-            lp = dw.level_pos
-            l0 = int(np.searchsorted(lp, lp[-1]))
-            sc = np.full((Lt, 6), NEG, dtype=np.int32)
-            sc[l0:] = np.asarray(sc_d[l0:Lt])
-        else:
-            sc = np.asarray(sc_d)[:Lt]
-        out.append((best, sc))
+    for chunk, Lts, l0, NCL, TAILB, B, E, packed_d, sc_d in pend:
+        W = (E - 1).bit_length()
+        BPL = (6 * W + 7) // 8
+        shifts = W * np.arange(6, dtype=np.int64)
+        packed = np.asarray(packed_d).astype(np.int64)
+        NB_ = NCL * B
+        bp = sum(packed[k * NB_:(k + 1) * NB_] << (8 * k)
+                 for k in range(BPL)).reshape(NCL, B)
+        st = BPL * NB_
+        TB6 = B * TAILB * 6
+        sct = (packed[st:st + TB6] | (packed[st + TB6:st + 2 * TB6] << 8)
+               | (packed[st + 2 * TB6:st + 3 * TB6] << 16)
+               | (packed[st + 3 * TB6:st + 4 * TB6] << 24)
+               ).astype(np.int32).reshape(B, TAILB, 6)
+        for wb in range(len(chunk)):
+            Lt = Lts[wb]
+            best = ((bp[:Lt, wb, None] >> shifts[None])
+                    & ((1 << W) - 1)).astype(np.int8)
+            if sc_tail:
+                sc = np.full((Lt, 6), NEG, dtype=np.int32)
+                s = min(max(int(l0[wb]), 0), NCL - TAILB)
+                e = min(s + TAILB, Lt)
+                sc[s:e] = sct[wb, :e - s]
+                if e < Lt:  # tail longer than TAILB levels (rare)
+                    sc[e:Lt] = np.asarray(
+                        sc_d[e:Lt, wb * 6:(wb + 1) * 6])
+            else:
+                sc = np.asarray(sc_d[:Lt, wb * 6:(wb + 1) * 6])
+            out.append((best, sc))
     return out
 
 
@@ -491,7 +543,7 @@ def _run_batch(dws, read_type, cov_coef=None, mesh=None, sc_tail=False):
     the fallback and the parity oracle (it always returns full sc)."""
     import jax
 
-    if mesh is None and _use_pallas():
+    if mesh is None and _pallas_ok(dws):
         try:
             return _run_batch_pallas(dws, read_type, cov_coef,
                                      sc_tail=sc_tail)
@@ -628,7 +680,7 @@ def cns_dp_device_batch_begin(items, read_type):
     todo = [i for i, dw in enumerate(denses) if dw is not None]
     handles = None
     if todo:
-        if _use_pallas():
+        if _pallas_ok([denses[i] for i in todo]):
             try:
                 handles = _dispatch_batch_pallas(
                     [denses[i] for i in todo], read_type)

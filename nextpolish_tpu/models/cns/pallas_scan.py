@@ -1,36 +1,35 @@
-"""Pallas TPU kernel for the engine-2 level scan (device_dp.py).
+"""Batched Pallas TPU kernel for the engine-2 level scan (device_dp.py).
 
-The lax.scan path pays per-step dispatch overhead on every level of the
-(t_pos, delta) lattice — ~10k scan steps for a 50 kb window.  This kernel
-runs the whole scan in ONE launch: a sequential grid streams chunked level
-slabs HBM->VMEM (Pallas double-buffers block transfers automatically) while
-the DP carry (previous level + boundary ring, device_dp.py's `(prev, bnd)`)
-rides the inner loop registers, spilling to VMEM scratch only across grid
-steps.
+The link DP is sequential over a window's (t_pos, delta) levels, so a
+single window can never fill the chip: one level is ~6*E lanes of work.
+The batch axis is WINDOWS — the same axis the reference parallelises with
+worker processes (the window loop, lib/ctg_cns.c:3455-3594).  This kernel
+packs B windows into the lane dimension and walks all of them in ONE
+launch: level l of every window advances together, so per-level work is
+B * 6E lanes and the two one-hot matmuls become real MXU ops.
 
-Dynamic single-row VMEM accesses cost ~8 us each on this hardware, so the
-inner loop walks GROUPS of 8 levels: one aligned [8, 6E] block load per
-group, statically-unrolled register slices per level, and one [8, 6] block
-store of the winners.
+Lane layout (slot-major, window-minor):
+  entry lanes:  lane = e * 6B + b * 6 + c      (slot e, window b, cell c)
+  source lanes: lane = b * NSRC + v * 6 + c    (ring slot v, or v=Vb: prev)
+so the winning-entry selection loop slices one slot's [1, 6B] cells
+contiguously, and each window's boundary ring + previous level stay in a
+contiguous src block.  Predecessor gathers and the lanes->sublanes carry
+transpose are exact chunked one-hot matmuls (f32 dot truncates to bf16, so
+int32 scores travel as four 8-bit chunks); per-window meta (coverage, ring
+slot, d0/pad bits) is expanded from a [G, B] block to lane vectors with
+the same chunked one-hot trick once per 8-level group.
 
-Per level:
-  * the predecessor gather `src[pp_idx]` is an exact one-hot matmul on the
-    MXU.  The TPU's default f32 dot truncates inputs to bf16, so scores are
-    split into four 8-bit chunks (each exact in bf16; one-hot rows select a
-    single term, so the f32 accumulation is exact) stacked into a single
-    [4E, .] operand — one hardware pass instead of a 6-pass HIGHEST dot;
-  * the same trick transposes the level's scores from their e-major lane
-    layout into the [slot, cell] carry layout (Mosaic has no lanes->
-    sublanes shape cast);
-  * the read-type winning-entry selection (the C's insertion-order loop,
-    lib/ctg_cns.c:1876-2125) is unrolled over the E entry slots in an
-    e-major lane layout so each slot's 6 cells are one contiguous slice.
+Transfers are the other half of the design (the DP data is far bigger than
+the compute): inputs arrive as ONE byte-planar uint8 buffer of compact
+per-entry streams (the dense [NCL, 6EB] slabs never cross the link — they
+are scattered on device in the same jit), and results leave as ONE packed
+uint8 buffer: per-level winners bit-packed 6x5 bits into an int32 plane
+plus a per-window score tail (the traceback only reads the last position's
+scores).  Without this, fetching a [NCL, 6]-shaped device array pays a
+~20x lane-padding penalty on the wire.
 
-Layout contract with the caller (see device_dp._run_batch_pallas):
-  A/M[b, l, e * 6 + c] — e-major (slot-major) packed entry words;
-  meta[b, l] = (cov << 8) | ((vslot + 1) << 2) | (is_d0 << 1) | is_pad.
-Semantics are bit-identical to device_dp._dp_level (tested in
-tests/test_device_dp.py against the lax.scan path, which is in turn
+Semantics are bit-identical to device_dp._dp_level (tested against the
+lax.scan path in tests/test_device_dp.py, which is in turn
 byte-parity-tested against the reference .so).
 """
 from __future__ import annotations
@@ -46,33 +45,76 @@ F_COND1A = 4
 F_COND2B = 8
 F_PPB_NOT_GAP = 16
 
-CL = 256  # levels per grid step (block rows streamed per chunk)
-G = 8     # levels per inner group (aligned sublane tile)
+G = 8      # levels per inner group (aligned sublane tile)
+TAIL = 512  # score-tail rows fetched per window
+PAD_COL = 127  # entry-stream padding marker (low 7 bits)
+MAX_PALLAS_E = 20  # col byte = adv<<7 | slot*6+cell needs slot*6+cell < 127
+
+
+def size_bucket(n: int) -> int:
+    """Smallest {1, 1.25, 1.5, 1.75} x pow2 >= n — finer than pow2 so
+    padded transfer volume stays within ~25%, while jit shape variants
+    stay a small set."""
+    n = max(n, 1)
+    p = 1
+    while True:
+        for m in (4, 5, 6, 7):
+            c = p * m // 4
+            if c >= n:
+                return c
+        p *= 2
+
+
+def choose_cl(E: int, Vb: int, B: int) -> int:
+    """Levels per grid step, sized so the VMEM working set (double-buffered
+    A/M blocks + the materialised one-hot/iota constants) stays ~<12 MB."""
+    SB = 6 * B
+    C6B = E * SB
+    NSB = B * (Vb + 1) * 6
+    const = (C6B * NSB * 2 + B * (C6B + NSB) + E * C6B * 2) * 4
+    for cl in (256, 128, 64, 32):
+        blocks = cl * C6B * 4 * 2 * 2  # A+M, double-buffered
+        if const + blocks < 12 * 2 ** 20:
+            return cl
+    return 32
 
 
 def _kernel(A_ref, M_ref, meta_ref, best_ref, sc_ref, src_ref, out8_ref,
-            *, E, Vb, rt_id, cov_coef):
+            *, E, Vb, B, CL, rt_id, cov_coef):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    NSRC = (Vb + 1) * 6  # ring cells + previous-level cells
-    C6 = 6 * E
+    NSRC = (Vb + 1) * 6
+    SB = 6 * B
+    C6B = E * SB
+    NSB = B * NSRC
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _init():
-        src_ref[:, :] = jnp.full((E, NSRC), NEG, jnp.int32)
+        src_ref[:, :] = jnp.full((E, NSB), NEG, jnp.int32)
 
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (E, C6), 0)  # pred slot
-    iota_j = jax.lax.broadcasted_iota(jnp.int32, (NSRC, C6), 0)
-    iota_lane6 = jax.lax.broadcasted_iota(jnp.int32, (E, NSRC), 1) // 6
-    # transpose helpers: rowsel picks lane block 6n for sublane n; colsel
-    # tiles cell lanes across the (Vb + 1) source slots
-    rowsel = (iota_n == jax.lax.broadcasted_iota(jnp.int32, (E, C6), 1)
-              // 6)
-    colsel = (jax.lax.broadcasted_iota(jnp.int32, (C6, NSRC), 0) % 6
-              == jax.lax.broadcasted_iota(jnp.int32, (C6, NSRC), 1) % 6
-              ).astype(jnp.float32)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (E, C6B), 0)  # pred slot
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (NSB, C6B), 0)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, C6B), 1)
+    w_entry = (lane_c % SB) // 6  # window id per entry lane
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (E, NSB), 1)
+    slot6 = (lane_s % NSRC) // 6  # ring slot id per src lane
+    # per-window meta expanders (chunked one-hot matmuls)
+    onehotC = (jax.lax.broadcasted_iota(jnp.int32, (B, C6B), 0)
+               == (jax.lax.broadcasted_iota(jnp.int32, (B, C6B), 1) % SB)
+               // 6).astype(jnp.float32)
+    onehotN = (jax.lax.broadcasted_iota(jnp.int32, (B, NSB), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (B, NSB), 1)
+               // NSRC).astype(jnp.float32)
+    # carry transpose: rowsel picks lane block SB*n for sublane n; colsel
+    # maps (window, cell) entry lanes onto (window, *, cell) src lanes
+    rowsel = (iota_n
+              == jax.lax.broadcasted_iota(jnp.int32, (E, C6B), 1) // SB)
+    cs0 = jax.lax.broadcasted_iota(jnp.int32, (C6B, NSB), 0)
+    cs1 = jax.lax.broadcasted_iota(jnp.int32, (C6B, NSB), 1)
+    colsel = (((cs0 % SB) // 6 == cs1 // NSRC)
+              & (cs0 % 6 == cs1 % 6)).astype(jnp.float32)
 
     def chunks4(x, mask=None):
         """Stack x (int32, |x| < 2^30) as four 8-bit chunks along sublanes
@@ -85,20 +127,16 @@ def _kernel(A_ref, M_ref, meta_ref, best_ref, sc_ref, src_ref, out8_ref,
                                axis=0)
 
     def recombine4(g):
-        """Invert chunks4 after the matmul (rows grouped by chunk)."""
         k = g.shape[0] // 4
         return (g[:k].astype(jnp.int32)
                 + (g[k:2 * k].astype(jnp.int32) << 8)
                 + (g[2 * k:3 * k].astype(jnp.int32) << 16)
                 + (g[3 * k:].astype(jnp.int32) << 24))
 
-    def level(a, m, meta, src):
-        """One level: a/m [1, C6] registers, meta scalar, src [E, NSRC].
-        Returns (bm [1,6], sc_bm [1,6], new src)."""
-        cov = meta >> 8
-        vslot = ((meta >> 2) & 0x3F) - 1
-        is_d0 = ((meta >> 1) & 1) != 0
-        is_pad = (meta & 1) != 0
+    def level(a, m, mC, mN, src):
+        """One level of all B windows: a/m/mC [1, C6B], mN [1, NSB],
+        src [E, NSB].  Returns (bm [1,SB], sc_bm [1,SB], new src)."""
+        cov = mC >> 8
 
         link = a >> 16
         pp_idx = (a >> 8) & 0xFF
@@ -112,14 +150,14 @@ def _kernel(A_ref, M_ref, meta_ref, best_ref, sc_ref, src_ref, out8_ref,
         w = 10 * link - cov_coef * cov
 
         # ---- predecessor gather: one chunked one-hot matmul ----
-        onehot = (iota_j == pp_idx).astype(jnp.float32)  # [NSRC, C6]
+        pp_g = pp_idx + w_entry * NSRC
+        onehot = (iota_j == pp_g).astype(jnp.float32)  # [NSB, C6B]
         pred = recombine4(jnp.dot(chunks4(src), onehot,
                                   preferred_element_type=jnp.float32))
 
-        # match bits: pred slot n participates iff bit n of match is set
-        mbits = ((jnp.broadcast_to(m, (E, C6)) >> iota_n) & 1) != 0
+        mbits = ((jnp.broadcast_to(m, (E, C6B)) >> iota_n) & 1) != 0
         cand = jnp.where(mbits, pred, NEG)
-        n_best = jnp.max(cand, axis=0, keepdims=True)  # [1, C6]
+        n_best = jnp.max(cand, axis=0, keepdims=True)  # [1, C6B]
         last_slot = jnp.max(jnp.where(mbits, iota_n, -1), axis=0,
                             keepdims=True)
         pick = iota_n == jnp.maximum(last_slot, 0)
@@ -128,89 +166,107 @@ def _kernel(A_ref, M_ref, meta_ref, best_ref, sc_ref, src_ref, out8_ref,
 
         sc = jnp.where(is_head, w,
                        jnp.where(has_match, jnp.maximum(n_best + w, 0), 0))
-        sc = jnp.where(valid, sc, NEG)  # [1, C6]
+        sc = jnp.where(valid, sc, NEG)  # [1, C6B]
 
         # ---- winning-entry selection, unrolled over slots ----
-        def lane6(x, e):
-            return x[:, e * 6:(e + 1) * 6]  # static lane slice
+        def laneS(x, e):
+            return x[:, e * SB:(e + 1) * SB]  # static lane slice
 
-        bm = jnp.zeros((1, 6), jnp.int32)
-        sc_bm = lane6(sc, 0)
-        link_bm = lane6(link, 0)
-        p_pp = jnp.full((1, 6), NEGINIT, jnp.int32)
-        raiser = jnp.full((1, 6), NEGINIT, jnp.int32)
+        covS = laneS(cov, 0)  # per-window coverage, constant over slots
+        bm = jnp.zeros((1, SB), jnp.int32)
+        sc_bm = laneS(sc, 0)
+        link_bm = laneS(link, 0)
+        p_pp = jnp.full((1, SB), NEGINIT, jnp.int32)
+        raiser = jnp.full((1, SB), NEGINIT, jnp.int32)
         if rt_id == 0:  # ont: tmp = max link over entries per cell
             lr = jnp.where(valid, link, 0)
-            tmp = lane6(lr, 0)
+            tmp = laneS(lr, 0)
             for e in range(1, E):
-                tmp = jnp.maximum(tmp, lane6(lr, e))
+                tmp = jnp.maximum(tmp, laneS(lr, e))
         for e in range(E):
-            v = lane6(valid, e)
-            hm = v & ~lane6(is_head, e) & lane6(has_match, e)
-            sc_e = lane6(sc, e)
-            nb_e = lane6(n_best, e)
-            ln_e = lane6(link, e)
+            v = laneS(valid, e)
+            hm = v & ~laneS(is_head, e) & laneS(has_match, e)
+            sc_e = laneS(sc, e)
+            nb_e = laneS(n_best, e)
+            ln_e = laneS(link, e)
             raiser = jnp.where(v & (sc_e > 0), nb_e, raiser)
-            ev = jnp.full((1, 6), e, jnp.int32)
+            ev = jnp.full((1, SB), e, jnp.int32)
             if rt_id in (1, 3):  # clr / hifi
                 upd = hm & ((nb_e > p_pp)
-                            | ((nb_e == p_pp) & lane6(ppb_ng, e)))
+                            | ((nb_e == p_pp) & laneS(ppb_ng, e)))
                 bm = jnp.where(upd, ev, bm)
                 sc_bm = jnp.where(upd, sc_e, sc_bm)
                 link_bm = jnp.where(upd, ln_e, link_bm)
                 p_pp = jnp.where(upd, nb_e, p_pp)
             elif rt_id == 0:  # ont
-                c1 = hm & lane6(cond1a, e) & (
-                    (5 * ln_e > cov) | (ln_e > tmp // 2))
+                c1 = hm & laneS(cond1a, e) & (
+                    (5 * ln_e > covS) | (ln_e > tmp // 2))
                 c2 = ~c1 & hm & (ln_e > link_bm // 2) \
-                    & (nb_e > p_pp) & lane6(cond2b, e)
+                    & (nb_e > p_pp) & laneS(cond2b, e)
                 upd = c1 | c2
                 bm = jnp.where(upd, ev, bm)
                 sc_bm = jnp.where(upd, sc_e, sc_bm)
                 link_bm = jnp.where(upd, ln_e, link_bm)
-                p_pp = jnp.where(c1, lane6(n_last, e),
+                p_pp = jnp.where(c1, laneS(n_last, e),
                                  jnp.where(c2, nb_e, p_pp))
             # common final rule
             if rt_id == 2:  # rs
                 upd = v & (sc_e >= sc_bm)
             else:
                 upd = v & ((sc_e > sc_bm)
-                           | ((sc_e == sc_bm) & lane6(ppb_ng, e)))
+                           | ((sc_e == sc_bm) & laneS(ppb_ng, e)))
             bm = jnp.where(upd, ev, bm)
             sc_bm = jnp.where(upd, sc_e, sc_bm)
             link_bm = jnp.where(upd, ln_e, link_bm)
             p_pp = jnp.where(upd, raiser, p_pp)
 
-        # ---- carry update (pad levels leave the state untouched) ----
-        # sc_tiled[n, v*6+c] = sc[0, n*6+c]: the lanes->sublanes transpose
-        # via the same exact chunked one-hot matmul
-        B1 = jnp.broadcast_to(sc, (E, C6))
-        sc_tiled = recombine4(jnp.dot(chunks4(B1, mask=rowsel), colsel,
+        # ---- carry update (per-window pad levels leave state alone) ----
+        scB = jnp.broadcast_to(sc, (E, C6B))
+        sc_tiled = recombine4(jnp.dot(chunks4(scB, mask=rowsel), colsel,
                                       preferred_element_type=jnp.float32))
-        ring_lane = iota_lane6 < Vb
-        rot = jnp.where(ring_lane & is_d0 & ~is_pad,
-                        jnp.full((E, NSRC), NEG, jnp.int32), src)
-        write_ring = ring_lane & (iota_lane6 == vslot) & (vslot >= 0) \
-            & ~is_pad
+        mNb = jnp.broadcast_to(mN, (E, NSB))
+        vslotN = ((mNb >> 2) & 0x3F) - 1
+        is_d0N = ((mNb >> 1) & 1) != 0
+        is_padN = (mNb & 1) != 0
+        ring_lane = slot6 < Vb
+        rot = jnp.where(ring_lane & is_d0N & ~is_padN,
+                        jnp.full((E, NSB), NEG, jnp.int32), src)
+        write_ring = ring_lane & (slot6 == vslotN) & (vslotN >= 0) \
+            & ~is_padN
         out = jnp.where(write_ring, sc_tiled, rot)
-        prev_lane = iota_lane6 == Vb
-        out = jnp.where(prev_lane & ~is_pad, sc_tiled, out)
+        out = jnp.where((slot6 == Vb) & ~is_padN, sc_tiled, out)
         return bm, sc_bm, out
 
     def group(g, src):
         base = pl.multiple_of(g * G, G)
-        A8 = A_ref[0, pl.ds(base, G), :]  # [G, C6] register block
-        M8 = M_ref[0, pl.ds(base, G), :]
-        for r in range(G):
-            meta = meta_ref[0, base + r]
-            bm, sc_bm, src = level(A8[r:r + 1, :], M8[r:r + 1, :], meta,
-                                   src)
-            out8_ref[r, :6] = bm[0]
-            out8_ref[r, 6:] = sc_bm[0]
-        blk = out8_ref[:, :]
-        best_ref[0, pl.ds(base, G), :] = blk[:, :6]
-        sc_ref[0, pl.ds(base, G), :] = blk[:, 6:]
-        return src
+        meta_blk = meta_ref[pl.ds(base, G), :]  # [G, B]
+
+        def run_group(src):
+            A8 = A_ref[pl.ds(base, G), :]  # [G, C6B] register block
+            M8 = M_ref[pl.ds(base, G), :]
+            mCg = recombine4(jnp.dot(chunks4(meta_blk), onehotC,
+                                     preferred_element_type=jnp.float32))
+            mNg = recombine4(jnp.dot(chunks4(meta_blk), onehotN,
+                                     preferred_element_type=jnp.float32))
+            for r in range(G):
+                bm, sc_bm, src = level(A8[r:r + 1, :], M8[r:r + 1, :],
+                                       mCg[r:r + 1, :], mNg[r:r + 1, :],
+                                       src)
+                out8_ref[r, :SB] = bm[0]
+                out8_ref[r, SB:] = sc_bm[0]
+            blk = out8_ref[:, :]
+            best_ref[pl.ds(base, G), :] = blk[:, :SB]
+            sc_ref[pl.ds(base, G), :] = blk[:, SB:]
+            return src
+
+        # NCL buckets to the next pow2 of chunks, so the tail past every
+        # window's levels can be large: groups where every window is
+        # padding skip the whole level pipeline (their carries are no-ops
+        # and nothing downstream reads their outputs)
+        all_pad = jnp.min(meta_blk & 1) == 1
+        return jax.lax.cond(all_pad, lambda s: s, run_group, src)
+
+    import jax
 
     src = jax.lax.fori_loop(0, CL // G, group, src_ref[:, :])
     src_ref[:, :] = src
@@ -219,94 +275,127 @@ def _kernel(A_ref, M_ref, meta_ref, best_ref, sc_ref, src_ref, out8_ref,
 _KERNELS = {}
 
 
-def get_level_scan(E, Vb, rt_id, cov_coef, NCL, P):
-    """Compiled pallas scan for the given shape bucket.
+def buf_layout(E: int, NCL: int, P: int, B: int):
+    """Total bytes of the input buffer: per-window entry streams padded to
+    P entries, then int32 meta planes [NCL, B]."""
+    MPL = (E + 7) // 8
+    PB = B * P
+    return (1 + 4 + MPL) * PB + 4 * NCL * B
 
-    The host->device traffic is the dominant cost on a tunneled link, so
-    the dense [NCL, 6E] level slabs (only ~6% occupied) never cross the
-    wire: the caller ships compact per-entry streams and the slabs are
-    scattered on device inside the same jit as the kernel launch —
 
-      ent8[P]  uint8: (level-advance bit << 7) | (slot*6 + base); entries
-               are level-major and every level has >= 1 entry, so level
-               deltas are 0/1 and a cumsum reconstructs ent_lvl;
-      entA[P]  int32: the packed A word;  entM[P] int32: match bits;
-      meta[NCL] int32 (pad bit set past the real levels).
+def get_level_scan(E, Vb, rt_id, cov_coef, NCL, P, B):
+    """Compiled batched pallas scan for the given shape bucket.
 
-    Returns f(buf) -> (best[NCL,6] int8, sc[NCL,6] int32 device array —
-    fetch only the slice you need); buf is the single byte-planar uint8
-    buffer device_dp._dispatch_batch_pallas packs."""
+    Input is ONE uint8 byte-planar buffer (see device_dp's packer):
+      [ colav(B*P) | A planes b0..b3 (4*B*P)
+        | M planes b0..b_{MPL-1} | meta planes b0..b3 (4*NCL*B) ]
+    colav = adv << 7 | slot*6 + cell (PAD_COL marks padding; needs
+    E <= MAX_PALLAS_E); adv = level-advance bit, cumsummed per window
+    into level ids; A/M/meta as in device_dp.
+
+    Returns f(buf, l0[B]) -> (packed uint8 out, sc [NCL, 6B] int32):
+      packed = [ winners 6 x W-bit int32 planes (BPL*NCL*B,
+                 W = bitwidth(E-1), BPL = ceil(6W/8))
+                 | score-tail planes (4*B*TAILB*6) ]
+    where TAILB = min(TAIL, NCL) rows starting at clip(l0, 0, NCL-TAILB)
+    per window.  Fetch `packed` for production (one transfer); `sc` stays
+    on device unless a caller wants the full score matrix (tests)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     interpret = jax.default_backend() == "cpu"  # tests / virtual meshes
-    key = (E, Vb, rt_id, cov_coef, NCL, P, interpret)
+    key = (E, Vb, rt_id, cov_coef, NCL, P, B, interpret)
     fn = _KERNELS.get(key)
     if fn is not None:
         return fn
+    CL = choose_cl(E, Vb, B)
     NC = NCL // CL
-    C6 = 6 * E
+    assert NC * CL == NCL, (NCL, CL)
+    SB = 6 * B
+    C6B = E * SB
     NSRC = (Vb + 1) * 6
-    kern = partial(_kernel, E=E, Vb=Vb, rt_id=rt_id, cov_coef=cov_coef)
+    MPL = (E + 7) // 8
+    PB = B * P
+    TAILB = min(TAIL, NCL)
+    kern = partial(_kernel, E=E, Vb=Vb, B=B, CL=CL, rt_id=rt_id,
+                   cov_coef=cov_coef)
 
     @jax.jit
-    def run(buf):
-        # ONE uint8 buffer crosses the link (4 separate transfers pay 4x
-        # the ~30 ms link latency), byte-planar so the tunnel's
-        # compression sees uniform lanes.  Layout:
-        #   [ent8(P) | entA planes b0..b3 (4P) | entM planes b0..b2 (3P)
-        #    | meta planes b0..b3 (4*NCL)]
-        ent8 = buf[:P]
-        lvl = jnp.cumsum((ent8 >> 7).astype(jnp.int32)) - 1
-        col = (ent8 & 0x7F).astype(jnp.int32)
-        # padding entries carry col 127 -> the trash slot past the slab
-        idx = jnp.where(col < 96, lvl * C6 + col, NCL * C6)
+    def run(buf, l0):
         b = buf.astype(jnp.int32)
-        entA = (b[P:2 * P] | (b[2 * P:3 * P] << 8)
-                | (b[3 * P:4 * P] << 16) | (b[4 * P:5 * P] << 24))
-        # match bits need ceil(E/8) byte planes (E <= 16 -> 2)
-        MPL = (E + 7) // 8
-        entM = b[5 * P:6 * P]
+        colav = b[:PB].reshape(B, P)
+        col = colav & 0x7F
+        adv = colav >> 7
+        lvl = jnp.cumsum(adv, axis=1) - 1  # per-window level ids
+        entA = (b[PB:2 * PB] | (b[2 * PB:3 * PB] << 8)
+                | (b[3 * PB:4 * PB] << 16) | (b[4 * PB:5 * PB] << 24)
+                ).reshape(B, P)
+        entM = b[5 * PB:6 * PB]
         for pb in range(1, MPL):
-            entM = entM | (b[(5 + pb) * P:(6 + pb) * P] << (8 * pb))
-        mb = (5 + MPL) * P
-        meta = (b[mb:mb + NCL] | (b[mb + NCL:mb + 2 * NCL] << 8)
-                | (b[mb + 2 * NCL:mb + 3 * NCL] << 16)
-                | (b[mb + 3 * NCL:mb + 4 * NCL] << 24))
-        A = jnp.zeros((NCL * C6 + 1,), jnp.int32).at[idx].set(
-            entA, unique_indices=True)[:NCL * C6].reshape(1, NCL, C6)
-        M = jnp.zeros((NCL * C6 + 1,), jnp.int32).at[idx].set(
-            entM, unique_indices=True)[:NCL * C6].reshape(1, NCL, C6)
+            entM = entM | (b[(5 + pb) * PB:(6 + pb) * PB] << (8 * pb))
+        entM = entM.reshape(B, P)
+        mb = (5 + MPL) * PB
+        NB_ = NCL * B
+        meta = (b[mb:mb + NB_] | (b[mb + NB_:mb + 2 * NB_] << 8)
+                | (b[mb + 2 * NB_:mb + 3 * NB_] << 16)
+                | (b[mb + 3 * NB_:mb + 4 * NB_] << 24)).reshape(NCL, B)
+        w6 = jnp.arange(B, dtype=jnp.int32)[:, None] * 6
+        gcol = (col // 6) * SB + w6 + col % 6
+        idx = jnp.where(col < PAD_COL, lvl * C6B + gcol, NCL * C6B)
+        A = jnp.zeros((NCL * C6B + 1,), jnp.int32).at[idx.ravel()].set(
+            entA.ravel(), unique_indices=True)[:NCL * C6B].reshape(
+                NCL, C6B)
+        M = jnp.zeros((NCL * C6B + 1,), jnp.int32).at[idx.ravel()].set(
+            entM.ravel(), unique_indices=True)[:NCL * C6B].reshape(
+                NCL, C6B)
         best, sc = pl.pallas_call(
             kern,
-            grid=(1, NC),
+            grid=(NC,),
             in_specs=[
-                pl.BlockSpec((1, CL, C6), lambda b, i: (b, i, 0),
+                pl.BlockSpec((CL, C6B), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CL, C6), lambda b, i: (b, i, 0),
+                pl.BlockSpec((CL, C6B), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CL), lambda b, i: (b, i),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((CL, B), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, CL, 6), lambda b, i: (b, i, 0),
+                pl.BlockSpec((CL, SB), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CL, 6), lambda b, i: (b, i, 0),
+                pl.BlockSpec((CL, SB), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((1, NCL, 6), jnp.int32),
-                jax.ShapeDtypeStruct((1, NCL, 6), jnp.int32),
+                jax.ShapeDtypeStruct((NCL, SB), jnp.int32),
+                jax.ShapeDtypeStruct((NCL, SB), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((E, NSRC), jnp.int32),
-                pltpu.VMEM((G, 12), jnp.int32),
+                pltpu.VMEM((E, B * NSRC), jnp.int32),
+                pltpu.VMEM((G, 2 * SB), jnp.int32),
             ],
             interpret=interpret,
-        )(A, M, meta.reshape(1, NCL))
-        return best[0].astype(jnp.int8), sc[0]
+        )(A, M, meta)
+        # ---- pack results into ONE dense byte buffer ----
+        W = (E - 1).bit_length()
+        BPL = (6 * W + 7) // 8
+        shifts = (jnp.arange(6, dtype=jnp.int32) * W)[None, None, :]
+        bp = (best.reshape(NCL, B, 6) << shifts).sum(axis=2)  # [NCL, B]
+        tails = []
+        for wb in range(B):
+            s = jnp.clip(l0[wb], 0, NCL - TAILB)
+            tails.append(jax.lax.dynamic_slice(sc, (s, wb * 6),
+                                               (TAILB, 6)))
+        sct = jnp.stack(tails)  # [B, TAILB, 6]
+        bpf = bp.ravel()
+        scf = sct.ravel()
+        packed = jnp.concatenate(
+            [((bpf >> (8 * k)) & 0xFF).astype(jnp.uint8)
+             for k in range(BPL)]
+            + [((scf >> (8 * k)) & 0xFF).astype(jnp.uint8)
+               for k in range(4)])
+        return packed, sc
 
     _KERNELS[key] = run
     return run

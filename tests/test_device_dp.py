@@ -127,6 +127,52 @@ def test_device_dp_deep_insertion_chain():
     assert np.array_equal(best_np, best_dev)
 
 
+@pytest.mark.parametrize("rt", ["ont", "clr", "rs"])
+def test_pallas_batched_windows_match(rt, monkeypatch):
+    """Several windows of different lengths lane-packed into ONE pallas
+    launch (B>1) must each equal the lax.scan result bit for bit."""
+    from nextpolish_tpu.models.cns import device_dp as dd
+
+    rng = np.random.default_rng(19)
+    dws = []
+    refs = []
+    for i, Lt_ in enumerate((1500, 3000, 800)):
+        true = rand_seq(rng, Lt_)
+        draft = bytes(_noisy(rng, true, 0.01, 0.01, 0.01))
+        batch, _ = _make_batch(rng, true, draft, n_reads=30, err=0.05)
+        L = len(draft)
+        contig_ascii = np.frombuffer(draft.upper(), dtype=np.uint8)
+        accum = WindowAccum(contig_ascii, 0, L, 3)
+        for r in np.flatnonzero(region_overlap_mask(batch, 0, 0, L - 1)):
+            r = int(r)
+            if int(batch.flag[r]) & 0xD04:
+                continue
+            tr = trim_read_columns(*read_columns(batch, r),
+                                   accum.ref_cns, 0, L)
+            if tr is not None:
+                accum.add_row(tr[0], tr[1], tr[2], r)
+        merged = accum.finish()
+        coverage = accum.coverage[:L] + 1
+        edges = build_edges(merged)
+        dw = densify_window(edges, coverage, L)
+        assert dw is not None
+        dws.append(dw)
+        monkeypatch.setenv("NPT_CNS_PALLAS", "0")
+        (ref,) = dd._run_batch([dw], rt)
+        refs.append(ref)
+    for sc_tail in (False, True):
+        pals = dd._run_batch_pallas(dws, rt, sc_tail=sc_tail)
+        assert len(pals) == len(dws)
+        for dw, ref, pal in zip(dws, refs, pals):
+            assert np.array_equal(ref[0], pal[0])
+            if sc_tail:
+                lp = dw.level_pos
+                l0 = int(np.searchsorted(lp, lp[-1]))
+                assert np.array_equal(ref[1][l0:], pal[1][l0:])
+            else:
+                assert np.array_equal(ref[1], pal[1])
+
+
 @pytest.mark.parametrize("rt", ["ont", "clr", "rs", "hifi"])
 def test_pallas_scan_matches_lax_scan(ont_window, rt, monkeypatch):
     """The pallas level-scan kernel (interpret mode on CPU) must equal the
