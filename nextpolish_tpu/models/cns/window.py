@@ -265,20 +265,30 @@ class WindowWork:
     clusters: list
 
 
+_AUTO_ENGINE: str | None = None
+
+
 def default_engine() -> str:
-    """NPT_CNS_ENGINE wins; otherwise the device path on an accelerator
-    backend and the native host engine on CPU."""
+    """NPT_CNS_ENGINE wins; otherwise, on an accelerator backend, the
+    MEASURED faster of the device and native engines (calib.choose_engine
+    probes both on first use and caches the choice); CPU runs native."""
     eng = os.environ.get("NPT_CNS_ENGINE")
     if eng:
         return eng
+    global _AUTO_ENGINE
+    if _AUTO_ENGINE:
+        return _AUTO_ENGINE
     try:
         import jax
 
-        if jax.default_backend() != "cpu":
-            return "device"
+        if jax.default_backend() == "cpu":
+            return "native"
     except Exception:
-        pass
-    return "native"
+        return "native"
+    from .calib import choose_engine
+
+    _AUTO_ENGINE = choose_engine("ont")
+    return _AUTO_ENGINE
 
 
 def window_dp(work: WindowWork, read_type: str, min_cov: int,
@@ -458,8 +468,8 @@ def consensus_for_contig(batch: AlnBatch, tid: int, contig: bytes,
                          read_type: str, window: int = 5_000_000,
                          overlap: int = 1_000_000, min_cov: int = 4,
                          repair: bool = True, split: int = 0,
-                         contig_name: str = "", qv_desc: str | None = None
-                         ) -> list[bytes]:
+                         contig_name: str = "", qv_desc: str | None = None,
+                         batcher=None) -> list[bytes]:
     """Whole-contig consensus: window loop + stitch (ctg_cns_core).
     Returns the list of output sequences (>1 only when split=1 fires).
 
@@ -534,30 +544,53 @@ def consensus_for_contig(batch: AlnBatch, tid: int, contig: bytes,
 
     parts = []
     if eng == "device":
-        # one-group lookahead: group g's device scans (and host copies)
-        # run while group g+1 preps on the host
-        from .device_dp import (cns_dp_device_batch_begin,
-                                cns_dp_device_batch_end)
+        # every prepped window goes straight to the shared batcher: groups
+        # of B windows — across contigs, when `batcher` is shared — leave
+        # in one pallas launch while the host preps the next windows
+        from collections import deque
 
-        pending = None  # (glo, works, state)
-        for glo in range(0, len(starts), group):
-            works = prep_group(glo)
+        from .batcher import CnsBatcher
+        from .device_dp import prepare_window
+
+        bat = batcher if batcher is not None else CnsBatcher(read_type)
+        futs: deque = deque()
+
+        def finish_one():
+            (s, e), work, edges, fut = futs.popleft()
             with trace.timed("cns.dp"):
-                state = cns_dp_device_batch_begin(
-                    [(w.merged, w.coverage, w.L) for w in works],
-                    read_type)
-            if pending is not None:
-                pglo, pworks, pstate = pending
+                r = fut.result()
+            with trace.timed("cns.host"):
+                cns = None
+                if r is not None:
+                    cns = traceback(edges, r[0], r[1], work.coverage,
+                                    work.L, read_type, min_cov,
+                                    lq_min_qv=lq_min_qv)
+                if cns is None:
+                    cns = window_dp(work, read_type, min_cov,
+                                    engine="native")
+                if repair:
+                    cns = window_repair(work, cns, read_type)
+            parts.append((s, cns))
+
+        with bat.contig():
+            for s, e in starts:
+                if fetcher is not None:
+                    lim = (max(e, st.INS_RADOM_LEN)
+                           if (s == 0 and struct_ctx.brk_g) else e)
+                    wbatch = fetcher.fetch(tid, s, max(lim - 1, s))
+                else:
+                    wbatch = batch
+                with trace.timed("cns.host"):
+                    work = window_prep(wbatch, tid, contig_ascii, s, e,
+                                       read_type, struct_ctx, contig_name)
+                    edges, dw = prepare_window(work.merged, work.coverage,
+                                               work.L)
                 with trace.timed("cns.dp"):
-                    cnss = cns_dp_device_batch_end(pstate, min_cov,
-                                                   lq_min_qv)
-                parts.extend(finish_group(pglo, pworks, cnss))
-            pending = (glo, works, state)
-        if pending is not None:
-            pglo, pworks, pstate = pending
-            with trace.timed("cns.dp"):
-                cnss = cns_dp_device_batch_end(pstate, min_cov, lq_min_qv)
-            parts.extend(finish_group(pglo, pworks, cnss))
+                    futs.append(((s, e), work, edges, bat.submit(dw)))
+                while len(futs) > group:
+                    finish_one()
+        while futs:
+            finish_one()
     else:
         for glo in range(0, len(starts), group):
             works = prep_group(glo)

@@ -14,7 +14,8 @@ READ_TYPES = {"ont", "clr", "hifi", "rs"}
 
 def ctg_cns_contig(name: str, draft: bytes, batch, read_type: str,
                    split: int = 0, window: int = 5_000_000,
-                   min_cov: int = 4, qv_desc: str | None = None):
+                   min_cov: int = 4, qv_desc: str | None = None,
+                   batcher=None):
     if read_type not in READ_TYPES:
         raise ValueError(f"unknown read type {read_type!r}")
     tid = batch.header.name2id(name)
@@ -22,7 +23,8 @@ def ctg_cns_contig(name: str, draft: bytes, batch, read_type: str,
         return [(name, draft)]
     seqs = consensus_for_contig(batch, tid, draft, read_type, window=window,
                                 min_cov=min_cov, split=int(split),
-                                contig_name=name, qv_desc=qv_desc)
+                                contig_name=name, qv_desc=qv_desc,
+                                batcher=batcher)
     if len(seqs) == 1:
         if len(seqs[0]) <= 10:
             # the reference hard-errors on tiny outputs

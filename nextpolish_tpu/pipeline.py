@@ -320,8 +320,16 @@ class Pipeline:
                             window)
             # the pipeline driver passes -sp to disable contig splitting
             # between rounds (source/nextPolish:76-83)
+            from .models.cns.window import default_engine
+
+            batcher = None
+            if default_engine() == "device":
+                from .models.cns.batcher import CnsBatcher
+
+                batcher = CnsBatcher(read_type)
             engine = lambda name, seq: ctg_cns_contig(
-                name, seq, batch, read_type, split=0, window=window
+                name, seq, batch, read_type, split=0, window=window,
+                batcher=batcher
             )
         else:
             raise ValueError(f"unknown task {task}")
@@ -332,7 +340,11 @@ class Pipeline:
             # contig-level pipelining: one contig's host prep overlaps
             # another's device scans (Pool.imap_unordered role,
             # lib/nextpolish1.py:223-224 / nextpolish2.py:192-194)
-            depth = 2 if task in (5, 6) else 1
+            depth = 1
+            if task in (5, 6):
+                from .models.cns.window import default_engine as _de
+
+                depth = 8 if _de() == "device" else 2
             results = pipelined_map(
                 lambda n: (n, engine(n, genome.fetch(n).seq)), todo,
                 depth=depth)

@@ -89,19 +89,32 @@ def main(argv=None):
         out = open(args.out, "ab" if done else "wb")
     else:
         out = sys.stdout.buffer
+    from .models.cns.window import default_engine
+    from .runtime.overlap import pipelined_map
+
+    # the device engine batches B windows per launch ACROSS contigs, so
+    # the contig pipeline runs deep enough to keep its batches full (the
+    # window loop is the reference's process axis, lib/nextpolish2.py:192)
+    batcher = None
+    depth = 2
+    if default_engine() == "device":
+        from .models.cns.batcher import CnsBatcher
+
+        batcher = CnsBatcher(args.read_type)
+        depth = max(2, batcher.B)
+
     def polish_one(name):
         rec = genome.fetch(name)
         return ctg_cns_contig(name, rec.seq, batch,
                               args.read_type, split=1 if args.split else 0,
                               window=window,
-                              qv_desc=rec.comment or None)
-
-    from .runtime.overlap import pipelined_map
+                              qv_desc=rec.comment or None, batcher=batcher)
 
     todo = [n for n in genome.names if n not in done]
     for name in done & set(genome.names):
         log.warning("Skip polished seq: %s", name)
-    for name, parts in zip(todo, pipelined_map(polish_one, todo, depth=2)):
+    for name, parts in zip(todo, pipelined_map(polish_one, todo,
+                                               depth=depth)):
         for pname, seq in parts:
             if len(seq) <= 10:
                 log.critical("polished seq %s is too short (%d bp)",
