@@ -247,6 +247,105 @@ def measure_ref_task5(names, drafts, batch, workdir) -> float | None:
 
 
 # ---------------------------------------------------------------------------
+# kernel-level device utilization (VERDICT r3 #2): per-launch kernel time
+# by chained-repetition differencing, vs the chip's roofline
+# ---------------------------------------------------------------------------
+
+def measure_cns_kernel(read_type="ont"):
+    """Per-launch device time of the production-shaped batched pallas
+    level scan, with MFU / memory-bandwidth roofline fractions."""
+    import jax
+
+    from nextpolish_tpu.models.cns import device_dp as dd
+    from nextpolish_tpu.models.cns.calib import PROBE_LEN, _probe_window
+    from nextpolish_tpu.models.cns.dp import COV_COEF
+    from nextpolish_tpu.runtime import roofline
+
+    try:
+        merged, coverage, L = _probe_window(read_type)
+        edges, dw = dd.prepare_window(merged, coverage, L)
+        if dw is None or not dd._pallas_ok([dw]):
+            return None
+        chunk = [dw] * dd.B_MAX
+        fn, buf, l0, (Lts, NCL, B, E, Vb) = dd.pack_group(
+            chunk, dd.READ_TYPE_ID[read_type], COV_COEF[read_type])
+        bufd = jax.device_put(buf)
+        l0d = jax.device_put(l0)
+
+        def fetch(h):
+            return np.asarray(h[0][:8])  # 8 bytes force the whole chain
+
+        fetch(fn(bufd, l0d))  # compile + warm
+        t = roofline.time_launches(lambda: fn(bufd, l0d), fetch, n=6)
+        lv = -(-max(Lts) // 8) * 8
+        flops = roofline.cns_scan_flops(E, Vb, B, lv)
+        bts = roofline.cns_scan_bytes(E, Vb, B, lv)
+        peak_f, peak_b, kind = roofline.device_peaks()
+        return {
+            "launch_s": round(t, 5),
+            "per_level_us": round(t / lv * 1e6, 4),
+            "kernel_mfu": round(flops / t / peak_f, 4),
+            "kernel_membw_frac": round(bts / t / peak_b, 4),
+            "kernel_bases_per_s": round(B * PROBE_LEN / t, 1),
+            "device_kind": kind,
+        }
+    except Exception as e:
+        print(f"cns kernel metrics failed: {e!r}", file=sys.stderr)
+        return None
+
+
+def measure_chain_kernel(L_cells=131072):
+    """Per-launch device time of the task-1 chain DP on a synthetic
+    L-cell problem shaped like one 100 kb contig (~4 observed kmers per
+    cell), with roofline fractions."""
+    import jax
+
+    from nextpolish_tpu.models.score_chain import AlgoConfig
+    from nextpolish_tpu.ops import tropical as tr
+    from nextpolish_tpu.runtime import roofline
+
+    try:
+        rng = np.random.default_rng(7)
+        K3 = 512
+        n_dp = L_cells - 7
+        per = 4  # observed kmers per cell
+        cells = np.repeat(np.arange(n_dp, dtype=np.int64), per)
+        kmers = rng.integers(0, K3, per * n_dp)
+        kmers[::per] = rng.integers(0, K3, n_dp)  # ensure draft kmer slot
+        uk = np.unique(cells * K3 + kmers)
+        cn = rng.integers(1, 40, len(uk)).astype(np.int64)
+        rk = tr._index_order_ranks(uk)
+        refkmer = (uk[np.searchsorted(uk, np.arange(n_dp) * K3)]
+                   % K3).astype(np.int32)
+        total = np.full(n_dp, per * 20, np.int32)
+        cfg = AlgoConfig()
+        buf, L, E, TH = tr.pack_chain_sparse(
+            uk, cn, rk, refkmer, total, n_dp, cfg.indel_balance_factor_sgs)
+        bufd = jax.device_put(buf)
+        launch = lambda: tr.chain_correct_packed(bufd, L, E, TH)  # noqa
+
+        def fetch(h):
+            return np.asarray(h[:8])
+
+        fetch(launch())  # compile + warm
+        t = roofline.time_launches(launch, fetch, n=4)
+        flops = roofline.chain_flops(L)
+        bts = roofline.chain_bytes(L)
+        peak_f, peak_b, kind = roofline.device_peaks()
+        return {
+            "launch_s": round(t, 5),
+            "per_cell_ns": round(t / L * 1e9, 2),
+            "kernel_mfu": round(flops / t / peak_f, 5),
+            "kernel_membw_frac": round(bts / t / peak_b, 4),
+            "kernel_cells_per_s": round(L / t, 1),
+            "device_kind": kind,
+        }
+    except Exception as e:
+        print(f"chain kernel metrics failed: {e!r}", file=sys.stderr)
+        return None
+
+
+# ---------------------------------------------------------------------------
 
 def _enable_jax_cache():
     """Persistent XLA compilation cache: first-compile times on the
@@ -298,10 +397,13 @@ def main():
         scaling[k] = round(n_reads * k / len(names) / d, 1)
     trace.reset("task1")
     dt = float("inf")
+    t1_runs = []
     for _ in range(3):
         t0 = time.time()
         run_some(len(names))
-        dt = min(dt, time.time() - t0)
+        d = time.time() - t0
+        t1_runs.append(round(n_reads / d, 1))
+        dt = min(dt, d)
     t1_reads_per_s = n_reads / dt
     t1_trace = trace.snapshot("task1")
 
@@ -334,11 +436,15 @@ def main():
         len(d) for d in drafts5)
     trace.reset("cns")
     dt5 = float("inf")
+    t5_runs = []
+    nb5 = sum(len(d) for d in drafts5)
     for _ in range(2):
         t0 = time.time()
         run_cns()
-        dt5 = min(dt5, time.time() - t0)
-    t5_bases_per_s = sum(len(d) for d in drafts5) / dt5
+        d = time.time() - t0
+        t5_runs.append(round(nb5 / d, 1))
+        dt5 = min(dt5, d)
+    t5_bases_per_s = nb5 / dt5
     t5_trace = trace.snapshot("cns")
     # the host C++ engine number alongside the device path
     os.environ["NPT_CNS_ENGINE"] = "native"
@@ -360,6 +466,21 @@ def main():
         return {"host_s": round(host, 2), "device_wait_s": round(wait, 2),
                 "host_busy_frac": round(host / tot, 2) if tot else None}
 
+    # ---- kernel-level utilization + device-busy fractions -------------
+    # (VERDICT r3 #2: separate rig-bound wall numbers from kernel truth)
+    cns_k = measure_cns_kernel("ont")
+    chain_k = measure_chain_kernel()
+    n5 = max(len(t5_runs), 1)  # trace accumulated over the timed runs
+    n1 = max(len(t1_runs), 1)
+    t5_busy = t1_busy = None
+    if cns_k and "cns.levels" in t5_trace:
+        lv = t5_trace["cns.levels"]["s"] / n5
+        t5_busy = round(lv * cns_k["per_level_us"] * 1e-6 / dt5, 4)
+    if chain_k and "task1.chain_cells" in t1_trace:
+        cells = t1_trace["task1.chain_cells"]["s"] / n1
+        t1_busy = round(
+            cells * chain_k["per_cell_ns"] * 1e-9 / dt, 4)
+
     print(json.dumps({
         "metric": "task1_polish_reads_per_s_per_chip",
         "value": round(t1_reads_per_s, 1),
@@ -367,13 +488,19 @@ def main():
         "vs_baseline": round(vs_t1, 3),
         "ref_measured": ref1 is not None,
         "ref_task1_reads_per_s_core": round(ref1, 1) if ref1 else None,
+        "task1_runs": t1_runs,
         "task1_scaling_reads_per_s_by_contigs": scaling,
         "task1_time_split": split(t1_trace, ".wait"),
+        "task1_device_busy_frac": t1_busy,
+        "task1_chain_kernel": chain_k,
         "task5_bases_per_s_per_chip": round(t5_bases_per_s, 1),
+        "task5_runs": t5_runs,
         "task5_bases_per_s_native_engine": round(t5_native, 1),
         "ref_task5_bases_per_s_core": round(ref5, 1) if ref5 else None,
         "task5_vs_ref_core": round(vs_t5_core, 2) if vs_t5_core else None,
         "task5_time_split": split(t5_trace, ".dp"),
+        "task5_device_busy_frac": t5_busy,
+        "task5_scan_kernel": cns_k,
         "cns_engine": os.environ.get("NPT_CNS_ENGINE"),
     }))
 

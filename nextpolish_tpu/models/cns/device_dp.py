@@ -429,11 +429,12 @@ def _dispatch_batch_pallas(dws, read_type, cov_coef=None):
     return pend
 
 
-def _dispatch_group(chunk, rt_id, c, device):
-    """ONE buffer, ONE launch for up to B_MAX windows."""
-    import jax
-
-    from .pallas_scan import PAD_COL, TAIL, choose_cl, get_level_scan
+def pack_group(chunk, rt_id, c):
+    """Pack up to B_MAX windows into the ONE-buffer launch form.
+    Returns (fn, buf, l0, shape) with shape = (Lts, NCL, B, E, Vb);
+    callers launch with fn(buf, l0) (bench times repeated launches on a
+    pre-placed buffer this way — runtime.roofline.time_launches)."""
+    from .pallas_scan import PAD_COL, choose_cl, get_level_scan
 
     from .pallas_scan import size_bucket
 
@@ -482,11 +483,30 @@ def _dispatch_group(chunk, rt_id, c, device):
     for pb in range(4):
         buf[mb + pb * NB_:mb + (pb + 1) * NB_] = (mf >> (8 * pb)) & 0xFF
     fn = get_level_scan(E, Vb, rt_id, c, NCL, P, B)
+    return fn, buf, l0, (Lts, NCL, B, E, Vb)
+
+
+def _dispatch_group(chunk, rt_id, c, device):
+    """ONE buffer, ONE launch for up to B_MAX windows."""
+    import jax
+
+    from .pallas_scan import TAIL
+
+    fn, buf, l0, (Lts, NCL, B, E, Vb) = pack_group(chunk, rt_id, c)
     if device is not None:
         buf = jax.device_put(buf, device)
         l0d = jax.device_put(l0, device)
     else:
         l0d = l0
+    # work-volume counters for device-utilization accounting (bench.py
+    # turns these into device_busy_frac / kernel_mfu via runtime.roofline)
+    from ...runtime import roofline, trace
+
+    lv_exec = -(-max(Lts) // 8) * 8  # all-pad tail groups skip
+    trace.count("cns.levels", lv_exec)
+    trace.count("cns.launches", 1)
+    trace.count("cns.flops", roofline.cns_scan_flops(E, Vb, B, lv_exec))
+    trace.count("cns.hbm_bytes", roofline.cns_scan_bytes(E, Vb, B, lv_exec))
     packed_d, sc_d = fn(buf, l0d)
     try:
         packed_d.copy_to_host_async()

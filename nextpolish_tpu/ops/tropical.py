@@ -394,6 +394,24 @@ def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
     `device` pins the launch (contig-level device parallelism: the
     pipeline round-robins contigs over jax.devices(), the TPU analog of
     blc_genome's contig blocks, source/nextPolish:93-117)."""
+    buf, L, E, TH = pack_chain_sparse(uk_in, cn_in, rk_in, refkmer, total,
+                                      n_dp, rate, cov_ratio, chunk)
+    if device is not None:
+        import jax
+
+        buf = jax.device_put(buf, device)
+    from ..runtime import trace
+
+    trace.count("task1.chain_cells", L)
+    trace.count("task1.chain_launches", 1)
+    return chain_correct_packed(buf, L, E, TH, chunk=chunk)
+
+
+def pack_chain_sparse(uk_in, cn_in, rk_in, refkmer, total, n_dp, rate,
+                      cov_ratio: float = 0.8, chunk: int = CHUNK):
+    """Host packing half of dispatch_chain_sparse: build the ONE u16
+    buffer; returns (buf, L, E, TH) for chain_correct_packed (bench times
+    repeated launches on a pre-placed buffer this way)."""
     L = pad_to_chunk(max(n_dp, 1), chunk)
     hi = int(np.searchsorted(uk_in, n_dp * K3))
     nz = uk_in[:hi]
@@ -426,11 +444,7 @@ def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
     thv = coverage_thresholds(TH - 1, cov_ratio).astype(np.uint32)
     buf[tail + 7:tail + 7 + 2 * TH:2] = thv & 0xFFFF
     buf[tail + 8:tail + 8 + 2 * TH:2] = thv >> 16
-    if device is not None:
-        import jax
-
-        buf = jax.device_put(buf, device)
-    return chain_correct_packed(buf, L, E, TH, chunk=chunk)
+    return buf, L, E, TH
 
 
 def slow_fg(A: np.ndarray, s0: np.ndarray):

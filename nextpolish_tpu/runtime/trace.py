@@ -35,6 +35,15 @@ def add(bucket: str, seconds: float) -> None:
     _N[bucket] += 1
 
 
+def count(bucket: str, n: float) -> None:
+    """Work-volume counter (units per bucket convention, e.g. `.levels` =
+    DP levels launched, `.launches` = device programs).  Stored in the
+    same table; `snapshot()['x']['s']` is then a count, not seconds —
+    buckets ending in a count suffix are excluded from time splits."""
+    _ACC[bucket] += n
+    _N[bucket] += 1
+
+
 def reset(prefix: str = "") -> None:
     for k in [k for k in _ACC if k.startswith(prefix)]:
         del _ACC[k]
