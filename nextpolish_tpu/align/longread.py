@@ -1,14 +1,15 @@
-"""Long-read mapper: minimizer anchors -> rolling-median diagonal filter ->
-LIS chain -> batched global banded alignment of inter-anchor segments
+"""Long-read mapper: minimizer anchors -> score-based chain DP
+(align/chain.py, mm_chain_dp semantics) -> batched global banded alignment
+of inter-anchor segments + ksw-style read-end extensions
 (the role of minimap2 map-ont/map-pb in source/nextPolish:208-216).
 
 Anchors are exact k-mer matches, so the final CIGAR is assembled from anchor
 match-runs plus globally-aligned gap segments; read ends beyond the terminal
-anchors are soft-clipped.
+anchors are soft-clipped.  Primary selection among close chains is
+identity-aware (final alignment score), and mapq follows minimap2's
+s1/s2 ambiguity model.
 """
 from __future__ import annotations
-
-import bisect
 
 import numpy as np
 
@@ -28,7 +29,7 @@ _BUCKETS = [(16, 32), (32, 32), (64, 64), (128, 64), (256, 128), (512, 128),
 def _anchors(idx: GenomeIndex, codes: np.ndarray, k: int):
     """All (qpos, rpos, orientation, unique) minimizer matches for one
     read; `unique` marks anchors whose minimizer occurs once in the
-    genome (repeat-free guideposts for the diagonal filter)."""
+    genome."""
     h, st = kmer_hashes(codes, k)
     ok = h != np.uint64(0xFFFFFFFFFFFFFFFF)
     qpos = np.flatnonzero(ok)
@@ -46,72 +47,6 @@ def _anchors(idx: GenomeIndex, codes: np.ndarray, k: int):
     same = idx.strands[flat] == st[qpos][rep]
     uniq = (n == 1)[rep]
     return qpos[rep].astype(np.int64), rpos.astype(np.int64), same, uniq
-
-
-def _chain(qp: np.ndarray, rp: np.ndarray, L: int, k: int,
-           uniq: np.ndarray | None = None):
-    """Diagonal filter + LIS -> colinear anchor chain.
-
-    The diagonal baseline comes from unique-minimizer anchors when
-    enough exist (repeat copies pull a plain rolling median onto the
-    wrong copy; unique flank anchors interpolate the true diagonal
-    straight through a repeat), else a rolling median of all anchors."""
-    if qp.size < 4:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    order = np.argsort(qp, kind="stable")
-    qp, rp = qp[order], rp[order]
-    if uniq is not None:
-        uniq = uniq[order]
-    diag = rp - qp
-    full = None
-    if uniq is not None and int(uniq.sum()) >= 4:
-        uq, ud = qp[uniq], diag[uniq]
-        # guideposts must agree with each other (a handful of unique
-        # anchors can still be noise): median-filter them first
-        umed = np.median(ud)
-        good = np.abs(ud - umed) < 2000
-        if int(good.sum()) >= 4:
-            full = np.interp(qp, uq[good], ud[good].astype(np.float64))
-    if full is None:
-        wnd = min(21, qp.size)
-        if qp.size >= wnd:
-            med = np.median(
-                np.lib.stride_tricks.sliding_window_view(diag, wnd), axis=1
-            )
-            pad = wnd // 2
-            full = np.concatenate(
-                [np.full(pad, med[0]), med,
-                 np.full(diag.size - med.size - pad, med[-1])])
-        else:
-            full = np.full(diag.size, np.median(diag))
-    keep = np.abs(diag - full) < 500
-    qp, rp = qp[keep], rp[keep]
-    if not qp.size:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    # LIS on rp (qp already nondecreasing; require strict increase in both)
-    tails: list[int] = []
-    tail_idx: list[int] = []
-    prev = np.full(qp.size, -1, dtype=np.int64)
-    last_q = -1
-    for i in range(qp.size):
-        r = int(rp[i])
-        j = bisect.bisect_left(tails, r)
-        if j == len(tails):
-            tails.append(r)
-            tail_idx.append(i)
-        else:
-            tails[j] = r
-            tail_idx[j] = i
-        prev[i] = tail_idx[j - 1] if j > 0 else -1
-    # reconstruct
-    out = []
-    i = tail_idx[len(tails) - 1]
-    while i >= 0:
-        out.append(i)
-        i = int(prev[i])
-    out.reverse()
-    sel = np.array(out, dtype=np.int64)
-    return qp[sel], rp[sel]
 
 
 MAX_SPLIT_PARTS = 4  # split-read parts per read (primary + supplementaries)
@@ -136,44 +71,53 @@ def _split_chain(cq: np.ndarray, cr: np.ndarray):
 
 
 def _find_parts(idx: GenomeIndex, codes: np.ndarray, k: int, min_chain: int):
-    """Iterated chaining for split reads: find the best chain, mask its
-    query span, re-chain the leftover anchors (the role of minimap2's
-    multi-part primary/supplementary output that feeds SA tags,
+    """Score-based chaining for one read: every chain from the chain DP
+    (align/chain.py, mm_chain_dp semantics) becomes a candidate; the
+    best-scoring non-query-overlapping ones survive as primary +
+    supplementary parts (the multi-part output that feeds SA tags,
     util/minimap2 + lib/ctg_cns.c:2158 set_satags).  Returns a list of
-    (strand, cq, cr, oriented_codes) ordered best-first."""
+    (strand, cq, cr, oriented_codes, score, sub_score) ordered
+    best-first; sub_score is the best rejected overlapping competitor
+    (mapq's s2, as in minimap2's mapping-quality model)."""
+    from .chain import chain_anchors
+
     qpos, rpos, same, uniq = _anchors(idx, codes, k)
     L = codes.size
+    cands = []  # (score, strand, cq, cr)
+    for strand in (0, 1):
+        m = same if strand == 0 else ~same
+        qo = qpos[m]
+        ro = rpos[m]
+        qp = qo if strand == 0 else L - k - qo
+        for sc, sel in chain_anchors(qp, ro, k):
+            cands.append((sc, strand, qp[sel], ro[sel]))
+    cands.sort(key=lambda t: -t[0])
     parts = []
+    spans = []  # kept query spans in original-read coords, + score
     used = np.zeros(max(L, 1), dtype=bool)
     rc = None
-    for it in range(MAX_SPLIT_PARTS):
-        best = None
-        for strand in (0, 1):
-            m = same if strand == 0 else ~same
-            qo = qpos[m]
-            keep = ~used[qo]
-            qo, ro, un = qo[keep], rpos[m][keep], uniq[m][keep]
-            qp = qo if strand == 0 else L - k - qo
-            cq, cr = _chain(qp, ro, L, k, uniq=un)
-            if best is None or cq.size > best[1].size:
-                best = (strand, cq, cr)
-        strand, cq, cr = best
-        if cq.size < min_chain:
-            break
-        # query interval in original-read coordinates
-        q0, q1 = int(cq.min()), int(cq.max()) + k
+    for sc, strand, cq, cr in cands:
+        if cq.size < min_chain or len(parts) >= MAX_SPLIT_PARTS:
+            continue
+        q0, q1 = int(cq[0]), int(cq[-1]) + k
         lo, hi = (L - q1, L - q0) if strand else (q0, q1)
-        if parts and used[lo:hi].mean() > 0.3:
-            break  # mostly re-covers an earlier part: not a split
+        if used[lo:hi].mean() > 0.3:
+            # repeat competitor of an already-kept part: record it as
+            # that part's s2 so mapq reflects the ambiguity
+            for si, (slo, shi, _) in enumerate(spans):
+                if min(hi, shi) - max(lo, slo) > 0.3 * (hi - lo):
+                    parts[si] = parts[si][:5] + (
+                        max(parts[si][5], sc),)
+                    break
+            continue
         used[lo:hi] = True
         if strand and rc is None:
             rc = _revcomp_codes(codes)
         oriented = rc if strand else codes
         for scq, scr in _split_chain(cq, cr):
             if scq.size >= min_chain and len(parts) < MAX_SPLIT_PARTS:
-                parts.append((strand, scq, scr, oriented))
-    # primary = the part with the most anchors
-    parts.sort(key=lambda p: -p[1].size)
+                parts.append((strand, scq, scr, oriented, sc, 0))
+                spans.append((lo, hi, sc))
     return parts
 
 
@@ -208,12 +152,15 @@ def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
     carrying an SA:Z tag over the other parts."""
     n = len(seqs)
     chains = []  # flat parts: (read, strand, cq, cr, codes_oriented)
+    chain_sc = []  # (chain_score, best_rejected_competitor_score)
     read_parts = [[] for _ in range(n)]  # read -> part ids (best first)
     for i, s in enumerate(seqs):
         codes = seq_codes(s)
-        for strand, cq, cr, oriented in _find_parts(idx, codes, k, min_chain):
+        for strand, cq, cr, oriented, sc, sub in _find_parts(
+                idx, codes, k, min_chain):
             read_parts[i].append(len(chains))
             chains.append((i, strand, cq, cr, oriented))
+            chain_sc.append((sc, sub))
 
     # build per-part op skeletons + segment jobs
     np_parts = len(chains)
@@ -323,18 +270,44 @@ def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
         tid2, _ = idx.global_to_contig(np.array([re_eff - 1]))
         if tid[0] != tid2[0]:
             continue
-        mapq = min(60, int(cq.size) // 2)
+        # identity score over the final runs (matches - mismatches -
+        # affine gaps): ranks close repeat-copy candidates by how well
+        # they actually align, not just by anchors (minimap2 re-ranks
+        # by DP score the same way)
+        sc_aln = 0
+        qi, rj = qa_eff, ra_eff
+        for op, ln in merged:
+            if op == _M:
+                nm = int((codes[qi:qi + ln]
+                          == idx.codes[rj:rj + ln]).sum())
+                sc_aln += match * nm - mismatch * (ln - nm)
+                qi += ln
+                rj += ln
+            elif op == _I:
+                sc_aln -= gapo + gape * ln
+                qi += ln
+            else:
+                sc_aln -= gapo + gape * ln
+                rj += ln
+        s1, s2 = chain_sc[i]
+        mapq = int(40.0 * (1.0 - s2 / max(s1, 1))
+                   * min(1.0, cq.size / 10.0) + 0.499)
+        mapq = max(0, min(60, mapq))
         part_recs[i] = dict(ref_id=int(tid[0]), pos=int(pos[0]),
                             strand=strand, mapq=mapq,
-                            cigar=np.array(cig, dtype=np.uint32), score=0)
+                            cigar=np.array(cig, dtype=np.uint32),
+                            score=sc_aln)
 
-    # attach SA tags where a read has >1 surviving part; part 0 is primary
+    # attach SA tags where a read has >1 surviving part; primary = the
+    # part with the best identity score (falls back to chain order when
+    # scores tie)
     records = [None] * n
     extra = []
     for i in range(n):
         pids = [p for p in read_parts[i] if part_recs[p] is not None]
         if not pids:
             continue
+        pids.sort(key=lambda p: -part_recs[p]["score"])
         prim = part_recs[pids[0]]
         records[i] = prim
         if len(pids) == 1:
