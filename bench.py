@@ -155,7 +155,7 @@ def make_task1_case(rng, L=100_000, depth=40, read_len=150, n_contigs=4,
 # task-5 workload: simulated ONT long reads through the built-in mapper
 # ---------------------------------------------------------------------------
 
-def make_task5_case(rng, L=50_000, n_contigs=2, depth=40, err=0.03):
+def make_task5_case(rng, L=50_000, n_contigs=8, depth=30, err=0.03):
     from nextpolish_tpu.align.index import GenomeIndex
     from nextpolish_tpu.align.longread import map_long_batch
     from nextpolish_tpu.align.mapper import records_to_batch
@@ -421,11 +421,21 @@ def main():
     from nextpolish_tpu.runtime.overlap import pipelined_map
 
     def run_cns():
-        # contig-level pipelining, as the pipeline/worker2 run it
+        # contig-level pipelining + the shared cross-contig window
+        # batcher, exactly as worker2/pipeline run it (worker2.py:98-117)
+        from nextpolish_tpu.models.cns.batcher import CnsBatcher
+        from nextpolish_tpu.models.cns.window import default_engine
+
+        batcher = None
+        depth = 2
+        if default_engine() == "device":
+            batcher = CnsBatcher("ont")
+            depth = max(2, batcher.B)
         out = []
         for parts in pipelined_map(
-                lambda nd: ctg_cns_contig(nd[0], nd[1], batch5, "ont"),
-                list(zip(names5, drafts5)), depth=2):
+                lambda nd: ctg_cns_contig(nd[0], nd[1], batch5, "ont",
+                                          batcher=batcher),
+                list(zip(names5, drafts5)), depth=depth):
             out.extend(parts)
         return out
 
@@ -457,6 +467,18 @@ def main():
     ref5 = measure_ref_task5(names5, drafts5, batch5,
                              os.path.join(tmp, "t5")) if have_ref else None
     vs_t5_core = (t5_bases_per_s / ref5) if ref5 else None
+
+    # what would production auto-select on this host/link? (calib probe,
+    # fresh — not the cached file)
+    try:
+        from nextpolish_tpu.models.cns.calib import measure_engines
+
+        rates = measure_engines("ont")
+        auto_eng = ("device" if rates["device"] >= rates["native"]
+                    else "native")
+    except Exception:
+        rates, auto_eng = {}, None
+    t5_auto = t5_bases_per_s if auto_eng == "device" else t5_native
 
     def split(tr, wait_key):
         """host/device-wait seconds + host-busy fraction from the trace."""
@@ -501,6 +523,8 @@ def main():
         "task5_time_split": split(t5_trace, ".dp"),
         "task5_device_busy_frac": t5_busy,
         "task5_scan_kernel": cns_k,
+        "task5_engine_auto": auto_eng,
+        "task5_bases_per_s_auto": round(t5_auto, 1),
         "cns_engine": os.environ.get("NPT_CNS_ENGINE"),
     }))
 

@@ -434,19 +434,29 @@ def pack_group(chunk, rt_id, c):
     Returns (fn, buf, l0, shape) with shape = (Lts, NCL, B, E, Vb);
     callers launch with fn(buf, l0) (bench times repeated launches on a
     pre-placed buffer this way — runtime.roofline.time_launches)."""
-    from .pallas_scan import PAD_COL, choose_cl, get_level_scan
+    from .pallas_scan import MAX_PALLAS_E, PAD_COL, choose_cl, get_level_scan
 
     from .pallas_scan import size_bucket
 
-    E = min(x for x in (8, 12, 16, 20)
-            if x >= max(dw.E for dw in chunk))
-    Vb = min(x for x in (4, 8, 16, 24)
-             if x >= max(dw.Vb for dw in chunk))
+    # shape buckets are deliberately COARSE: every distinct
+    # (E, Vb, B, NCL, P) tuple is a separate XLA compilation, and the
+    # cross-contig batcher composes groups nondeterministically — a fine
+    # bucket lattice turns batch composition jitter into fresh compiles
+    # mid-run.  E and Vb only widen the kernel's lane space (zero extra
+    # transfer bytes — the entry streams are Et-sized), so they pin to
+    # one or two values; only P (entry-stream pad, real wire bytes)
+    # keeps the fine 1.25x buckets.
+    E = MAX_PALLAS_E
+    Vb = 8 if max(dw.Vb for dw in chunk) <= 8 else 24
     B = min(x for x in (1, 2, 4, 8, 16, 32)
             if x >= len(chunk))
     CL = choose_cl(E, Vb, B)
     Lts = [dw.n_levels for dw in chunk]
-    NCL = size_bucket(-(-max(Lts) // CL)) * CL
+    nc = -(-max(Lts) // CL)
+    p2 = 1
+    while p2 < nc:
+        p2 *= 2
+    NCL = p2 * CL
     P = size_bucket(max(len(dw.ent_b) for dw in chunk))
     MPL = (E + 7) // 8
     PB = B * P

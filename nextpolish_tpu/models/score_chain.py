@@ -331,6 +331,185 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
             yield pname, score_chain_contig_end(ph)
 
 
+# contigs above this many bases go through the reads-sharded multi-chip
+# path when more than one device exists (blc can't balance a contig that
+# dominates the genome; sharding its READS over chips can)
+SHARD_MIN_LEN = 30_000_000
+
+
+# cells per sharded-chain window: dense [Wc, 512] i32 merge tensors stay
+# ~0.5 GB/device and the int32 key space (Wc * 512) stays far inside 2^31
+SHARD_WINDOW_CELLS = 1 << 21
+
+
+def score_chain_contig_sharded(name: str, draft: bytes, batch: AlnBatch,
+                               cfg: AlgoConfig, mesh, levels=None) -> bytes:
+    """Task 1 for ONE large contig with its reads sharded over the mesh.
+
+    The qualifying reads split into contiguous BAM-order blocks, one per
+    'reads' mesh slot; each shard's sparse pileup walks on host (the
+    native walker releases the GIL, so shards walk concurrently), and
+    the merge is the on-device psum/pmin collective
+    (parallel.shard.make_reads_merge_fwd) — `samtools merge` as a
+    collective (source/nextPolish:119-156).  Contigs beyond
+    SHARD_WINDOW_CELLS process as a window sequence: the forward scan's
+    state vector chains through s0 (pointer decisions are
+    shift-invariant, so windowing is byte-exact), and the traceback
+    stitches backward from the contig end.  Byte-equal to
+    score_chain_contig by test."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.tropical import (
+        NEG,
+        TH_CAP,
+        _pow2,
+        coverage_thresholds,
+        pad_to_chunk,
+    )
+    from ..parallel.shard import (
+        KBIG,
+        make_merge_traceback,
+        make_reads_merge_fwd,
+    )
+
+    tid = batch.header.name2id(name)
+    Lc = len(draft)
+    if levels is None:
+        levels = pl.filter_sgs_chain(batch)
+    index = pl.build_cell_index(batch, levels, tid, 0, Lc - 1)
+    state = ContigState.from_draft(name, draft, index)
+    contig_nib = ASCII_TO_NIB[np.frombuffer(draft, dtype=np.uint8)]
+    view = state.index.region_view(0, Lc - 1)
+    cell0 = int(state.index.cell_of[0])
+    R = int(np.prod(list(mesh.shape.values())))
+    n_dp = view.n_cells_dp
+
+    # contiguous read blocks in BAM order (the event stream of shard r
+    # precedes shard r+1's, which the merge's key order relies on)
+    qual = np.flatnonzero(levels >= 1)
+    bounds = [len(qual) * r // R for r in range(R + 1)]
+
+    def build(r):
+        lr = np.zeros_like(levels)
+        sel = qual[bounds[r]:bounds[r + 1]]
+        lr[sel] = levels[sel]
+        return pl.build_pileup_sparse(batch, lr, 1, view, tid, contig_nib,
+                                      cfg.trim_len_edge,
+                                      include_ref=(r == 0))
+    with ThreadPoolExecutor(max_workers=min(R, 4)) as pool:
+        shards = list(pool.map(build, range(R)))
+
+    total_sum = np.zeros(n_dp, dtype=np.int64)
+    for s in shards:
+        total_sum += s.total[:n_dp]
+    maxt = int(total_sum.max()) if n_dp else 1
+    TH = _pow2(min(maxt + 1, TH_CAP))
+    th = coverage_thresholds(TH - 1, cfg.min_count_ratio_skip
+                             ).astype(np.int32)
+    Wc = min(pad_to_chunk(max(n_dp, 1)), SHARD_WINDOW_CELLS)
+    wlos = list(range(0, max(n_dp, 1), Wc))
+    sh_r = NamedSharding(mesh, P(mesh.axis_names[0]))
+    sh_rep = NamedSharding(mesh, P())
+
+    def put_r(a):
+        return jax.device_put(a, sh_r)
+
+    def put(a):
+        return jax.device_put(a, sh_rep)
+
+    rate = put(np.float32(cfg.indel_balance_factor_sgs))
+    th_d = put(th)
+    tbs = []  # per window: (Ptab_dev, flags_dev, msel_dev, n_dp_w)
+    s0 = put(np.full(S, float(NEG), np.float32))
+    first = True
+    for wlo in wlos:
+        whi = min(wlo + Wc, n_dp)
+        n_dp_w = whi - wlo
+        slices = []
+        E = 1
+        for s in shards:
+            a = int(np.searchsorted(s.uk, wlo * K3))
+            b = int(np.searchsorted(s.uk, whi * K3))
+            slices.append((a, b))
+            E = max(E, b - a)
+        E = _pow2(E)
+        uk = np.full((R, E), Wc * K3, dtype=np.int32)
+        cn = np.zeros((R, E), dtype=np.int32)
+        key = np.full((R, E), KBIG, dtype=np.int32)
+        total_p = np.zeros((R, Wc), dtype=np.int32)
+        for r, (s, (a, b)) in enumerate(zip(shards, slices)):
+            m = b - a
+            uk[r, :m] = s.uk[a:b] - wlo * K3
+            cn[r, :m] = np.minimum(s.cn[a:b], 0xFFFF)
+            key[r, :m] = (r << 16) | s.rk[a:b].astype(np.int32)
+            total_p[r, :n_dp_w] = s.total[wlo:whi]
+        refkmer = np.zeros(Wc, dtype=np.int32)
+        refkmer[:n_dp_w] = shards[0].refkmer[wlo:whi]
+        fwd = make_reads_merge_fwd(mesh, Wc, E, TH)
+        Ptab, flags, msel, fend = fwd(
+            put_r(uk), put_r(cn), put_r(key), put_r(total_p),
+            put(refkmer), th_d, rate, put(np.int32(n_dp_w)), s0,
+            put(np.bool_(first)))
+        tbs.append((Ptab, flags, msel, n_dp_w))
+        s0 = fend
+        first = False
+
+    # backward stitch: the traceback seed of window w is the base its
+    # successor's first-cell pointer demands
+    tb = make_merge_traceback(mesh, Wc)
+    last_P, last_flags, last_msel, last_n = tbs[-1]
+    b_end = last_msel[last_n - 1]
+    packs = [None] * len(tbs)
+    for w in range(len(tbs) - 1, -1, -1):
+        Ptab, flags, msel, n_dp_w = tbs[w]
+        packed, b_prev = tb(Ptab, flags, b_end)
+        packs[w] = (packed, n_dp_w)
+        b_end = b_prev
+    packed = np.concatenate([np.asarray(p)[:nw] for p, nw in packs]) \
+        if packs else np.zeros(0, np.int8)
+    p0 = shards[0]
+    _finish_correction_sparse(state, p0, cell0, packed, cfg)
+    maybe_trace(cfg, name, state, draft)
+    return state.emit(FLAG_ZERO | FLAG_COVERAGE)
+
+
+def score_chain_pipeline_multichip(names_seqs, batch, cfg: AlgoConfig,
+                                   mesh=None,
+                                   shard_min: int = SHARD_MIN_LEN):
+    """Production task-1 router: contigs above `shard_min` run through
+    the reads-sharded collective path when the mesh has >1 device;
+    everything else flows through the pipelined single-chip path.  This
+    is the function pipeline.polish_task calls and the multichip dryrun
+    exercises."""
+    import jax
+
+    if mesh is None and len(jax.devices()) > 1:
+        from ..parallel.shard import reads_mesh
+
+        mesh = reads_mesh()
+    n_mesh = (int(np.prod(list(mesh.shape.values()))) if mesh is not None
+              else 1)
+    if n_mesh <= 1:
+        yield from score_chain_pipeline(names_seqs, batch, cfg)
+        return
+    pairs = list(names_seqs)
+    big = {n for n, s in pairs if len(s) >= shard_min}
+    small = [(n, s) for n, s in pairs if n not in big]
+    out = dict(score_chain_pipeline(small, batch, cfg)) if small else {}
+    for n, s in pairs:
+        if n in big:
+            src = batch
+            if hasattr(batch, "fetch"):
+                tid = batch.header.name2id(n)
+                src = batch.fetch(tid, 0, max(len(s) - 1, 0))
+            yield n, score_chain_contig_sharded(n, s, src, cfg, mesh)
+        else:
+            yield n, out[n]
+
+
 def td_score_chain_contig(name: str, draft: bytes, batch: AlnBatch,
                           cfg: AlgoConfig) -> bytes:
     """Legacy long-read chain variant (td_score_chain1, lib/scorechain.c:17-29):

@@ -536,14 +536,18 @@ class SparsePileup:
 
 def build_pileup_sparse(batch: AlnBatch, levels: np.ndarray, level: int,
                         index: CellIndex, tid: int, contig_nib: np.ndarray,
-                        trim_len_edge: int = 2) -> SparsePileup:
+                        trim_len_edge: int = 2,
+                        include_ref: bool = True) -> SparsePileup:
     """Sparse full pileup: reads at `level` + the contig-as-read.
 
     Uses the native single-pass walker (native/pileup.cpp) when available;
     the vectorized-numpy expansion below is the fallback and the oracle the
-    native path is tested against."""
+    native path is tested against.  `include_ref=False` drops the
+    contig-as-read row — used by the reads-sharded multi-chip path, where
+    only shard 0 carries it (it must count exactly once after the psum
+    merge, lib/contig.c:373)."""
     native = _native_pileup(batch, levels, level, index, tid, contig_nib,
-                            trim_len_edge)
+                            trim_len_edge, include_ref)
     if native is not None:
         return native
     ex = expand_reads(batch, levels, level, index, tid, trim_len_edge)
@@ -551,23 +555,32 @@ def build_pileup_sparse(batch: AlnBatch, levels: np.ndarray, level: int,
     n = index.n_cells
     ndp = index.n_cells_dp
     keys = ex.cells * K3 + ex.kmers()
-    refkeys = np.arange(ndp, dtype=np.int64) * K3 + refkmer[:ndp]
-    # observation order: contig-as-read first, then reads (contig_as_read
-    # runs before contig_parse_region, lib/contig.c:714-716)
-    ordered_cells = np.concatenate([np.arange(ndp, dtype=np.int64), ex.cells])
-    ordered_kmers = np.concatenate([refkmer[:ndp].astype(np.int64),
-                                    ex.kmers().astype(np.int64)])
+    if include_ref:
+        refkeys = np.arange(ndp, dtype=np.int64) * K3 + refkmer[:ndp]
+        # observation order: contig-as-read first, then reads
+        # (contig_as_read runs before contig_parse_region,
+        # lib/contig.c:714-716)
+        ordered_cells = np.concatenate([np.arange(ndp, dtype=np.int64),
+                                        ex.cells])
+        ordered_kmers = np.concatenate([refkmer[:ndp].astype(np.int64),
+                                        ex.kmers().astype(np.int64)])
+        allkeys = np.concatenate([keys, refkeys])
+    else:
+        ordered_cells, ordered_kmers = ex.cells, ex.kmers().astype(np.int64)
+        allkeys = keys
     rank_dense = event_ranks(ordered_cells, ordered_kmers, n)
-    uk, cn = np.unique(np.concatenate([keys, refkeys]), return_counts=True)
+    uk, cn = np.unique(allkeys, return_counts=True)
     total = np.bincount(ex.cells, minlength=n).astype(np.int32)
-    total[:ndp] += 1
+    if include_ref:
+        total[:ndp] += 1
     return SparsePileup(index, uk, cn, total, refkmer.astype(np.int32),
                         ref_sym, rank_dense.reshape(-1)[uk])
 
 
 def _native_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
                    index: CellIndex, tid: int, contig_nib: np.ndarray,
-                   trim_len_edge: int) -> SparsePileup | None:
+                   trim_len_edge: int,
+                   include_ref: bool = True) -> SparsePileup | None:
     from .. import native
 
     if not native.available():
@@ -583,7 +596,7 @@ def _native_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
         ridx, batch.pos, batch.cigar, batch.cigar_off, batch.cigar_len,
         batch.seq, batch.seq_off, batch.lqseq, index.start, index.end,
         index.cell_of, index.ins_len, index.n_cells, index.n_cells_dp,
-        refkmer, trim_len_edge, max_span=max_span,
+        refkmer if include_ref else None, trim_len_edge, max_span=max_span,
     )
     if out is None:
         return None

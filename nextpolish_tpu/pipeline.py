@@ -282,10 +282,15 @@ class Pipeline:
                 self.algo.read_tlen = estimate_read_tlen(head_of(batch),
                                                          self.algo)
             from .models.kmer_count import kmer_count_contig
-            from .models.score_chain import score_chain_pipeline
+            from .models.score_chain import score_chain_pipeline_multichip
 
             if task == 1:
-                results = score_chain_pipeline(
+                # multichip router: contigs above SHARD_MIN_LEN shard
+                # their READS over the chips and merge as a psum
+                # collective; everything else takes the pipelined
+                # single-chip path (samtools merge as a collective,
+                # source/nextPolish:119-156)
+                results = score_chain_pipeline_multichip(
                     ((n, genome.fetch(n).seq) for n in todo), batch,
                     self.algo)
             else:
