@@ -23,21 +23,38 @@ import os
 _INITIALIZED = False
 
 
+def _slurm_first_node(nodelist: str) -> str:
+    """First hostname of a SLURM nodelist ('a,b', 'tpu[003-004]', ...)."""
+    head = nodelist.split(",")[0]
+    if "[" in head:
+        base, rng = head.split("[", 1)
+        first = rng.rstrip("]").split(",")[0].split("-")[0]
+        return base + first
+    return head
+
+
 def init_distributed() -> int:
-    """Initialize jax.distributed from NPT_* env vars (no-op without them).
+    """Initialize jax.distributed from NPT_* env vars (no-op without
+    them).  Under SLURM (npt-launch --slurm), rank/count/coordinator fall
+    back to SLURM_PROCID / SLURM_NTASKS / the first allocation node.
     Returns the process count."""
     global _INITIALIZED
     import jax
 
-    coord = os.environ.get("NPT_COORDINATOR")
-    if coord and not _INITIALIZED:
-        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    env = os.environ
+    coord = env.get("NPT_COORDINATOR")
+    nprocs = env.get("NPT_NUM_PROCS") or env.get("SLURM_NTASKS")
+    rank = env.get("NPT_PROC_ID") or env.get("SLURM_PROCID")
+    if coord is None and env.get("SLURM_JOB_NODELIST") and nprocs:
+        coord = _slurm_first_node(env["SLURM_JOB_NODELIST"]) + ":9876"
+    if coord and int(nprocs or 1) > 1 and not _INITIALIZED:
+        if env.get("JAX_PLATFORMS", "").startswith("cpu"):
             # CPU multi-process needs a cross-process collectives impl
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coord,
-            num_processes=int(os.environ["NPT_NUM_PROCS"]),
-            process_id=int(os.environ["NPT_PROC_ID"]),
+            num_processes=int(nprocs),
+            process_id=int(rank),
         )
         _INITIALIZED = True
     return jax.process_count()

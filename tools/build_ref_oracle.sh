@@ -22,6 +22,12 @@ build_aligners() {
     make -C $DST/util/minimap2 -j8 >/dev/null
   fi
   if [ ! -x $DST/util/samtools/samtools ]; then
+    # curses is only needed by tview, which we never run: stub it
+    mkdir -p $STUBLIB
+    if [ ! -f $STUBLIB/libcurses.a ]; then
+      ( cd $STUBLIB && echo "void __npt_stub_curses(void){}" > c.c && \
+        gcc -c c.c && ar rcs libcurses.a c.o )
+    fi
     ( cd $DST/util/samtools && \
       printf '/* no curses */\n' > config.h && \
       sed -i 's/^CURSES_LIB = .*/CURSES_LIB =/' config.mk 2>/dev/null; \
