@@ -53,21 +53,37 @@ MAX_SPLIT_PARTS = 4  # split-read parts per read (primary + supplementaries)
 MAX_EVENT_LEN = 1500  # net indel above this breaks the chain into parts
 
 
-def _split_chain(cq: np.ndarray, cr: np.ndarray):
+def _split_chain(cq: np.ndarray, cr: np.ndarray,
+                 idx: GenomeIndex | None = None, k: int = 15):
     """Break a colinear chain at net-indel jumps > MAX_EVENT_LEN — such
     events are structural, and must surface as split parts + SA tags (the
-    signal check_indel consumes), not as giant I/D CIGAR ops."""
+    signal check_indel consumes), not as giant I/D CIGAR ops.
+
+    Chains are also broken at CONTIG BOUNDARIES of the concatenated
+    genome: contigs that abut in the underlying sequence chain straight
+    through the junction in global coordinates, and a junction-crossing
+    read must yield one record per contig (as minimap2 does), not be
+    dropped — otherwise both contigs lose their edge coverage."""
     if cq.size == 0:
         return []
     jump = np.abs(np.diff(cr) - np.diff(cq))
-    brk = np.flatnonzero(jump > MAX_EVENT_LEN)
+    brk = set(np.flatnonzero(jump > MAX_EVENT_LEN).tolist())
+    if idx is not None and len(idx.starts) > 1:
+        tid = np.searchsorted(idx.starts, cr, side="right") - 1
+        # anchor t and t+1 on different contigs (or an anchor's k-mer
+        # straddling the boundary) ends the part at t
+        tid_end = np.searchsorted(idx.starts, cr + k - 1, side="right") - 1
+        brk |= set(np.flatnonzero(np.diff(tid) != 0).tolist())
+        brk |= set((np.flatnonzero(tid_end != tid) - 1).tolist())
     out = []
     s = 0
-    for b in brk:
+    for b in sorted(brk):
+        if b < s:
+            continue
         out.append((cq[s : b + 1], cr[s : b + 1]))
         s = b + 1
     out.append((cq[s:], cr[s:]))
-    return out
+    return [(q, r) for q, r in out if q.size]
 
 
 def _find_parts(idx: GenomeIndex, codes: np.ndarray, k: int, min_chain: int):
@@ -114,8 +130,11 @@ def _find_parts(idx: GenomeIndex, codes: np.ndarray, k: int, min_chain: int):
         if strand and rc is None:
             rc = _revcomp_codes(codes)
         oriented = rc if strand else codes
-        for scq, scr in _split_chain(cq, cr):
-            if scq.size >= min_chain and len(parts) < MAX_SPLIT_PARTS:
+        # pieces of a confident chain (structural events / contig
+        # boundaries) keep minimap2's low per-piece floor (min_cnt=3-ish)
+        piece_min = min(min_chain, 4)
+        for scq, scr in _split_chain(cq, cr, idx, k):
+            if scq.size >= piece_min and len(parts) < MAX_SPLIT_PARTS:
                 parts.append((strand, scq, scr, oriented, sc, 0))
                 spans.append((lo, hi, sc))
     return parts
