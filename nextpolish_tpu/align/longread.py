@@ -50,7 +50,12 @@ def _anchors(idx: GenomeIndex, codes: np.ndarray, k: int):
 
 
 MAX_SPLIT_PARTS = 4  # split-read parts per read (primary + supplementaries)
-MAX_EVENT_LEN = 1500  # net indel above this breaks the chain into parts
+# net indel above this breaks the chain into split parts + SA tags;
+# below it the event stays in-CIGAR as an I/D run — minimap2's boundary
+# is its max_gap (-g 5000), and the reference's structural layer expects
+# SA tags only for events minimap2 itself would split (check_indel,
+# lib/ctg_cns.c:3487-3508)
+MAX_EVENT_LEN = 5000
 
 
 def _split_chain(cq: np.ndarray, cr: np.ndarray,
@@ -86,6 +91,43 @@ def _split_chain(cq: np.ndarray, cr: np.ndarray,
     return [(q, r) for q, r in out if q.size]
 
 
+MAX_JOIN_GAP = 5000  # colinear chains this close merge into one alignment
+
+
+def _join_colinear(chains):
+    """Merge separately-extracted chains that are colinear continuations
+    of each other (ascending in both query and reference, gaps under
+    MAX_JOIN_GAP): the chain DP's bandwidth rejects multi-kb indel jumps,
+    but minimap2 represents such events as in-CIGAR I/D runs inside ONE
+    record (its bw-long join), and fragmenting them into split parts
+    instead starves the consensus of the surrounding coverage.
+
+    chains: [(score, cq, cr)] best-first.  Returns the same shape."""
+    if len(chains) <= 1:
+        return chains
+    order = sorted(range(len(chains)), key=lambda i: int(chains[i][1][0]))
+    merged = []
+    cur = None
+    for i in order:
+        sc, cq, cr = chains[i]
+        if cur is None:
+            cur = [sc, [cq], [cr]]
+            continue
+        pq, pr = cur[1][-1], cur[2][-1]
+        qgap = int(cq[0]) - int(pq[-1])
+        rgap = int(cr[0]) - int(pr[-1])
+        if 0 < qgap <= MAX_JOIN_GAP and 0 < rgap <= MAX_JOIN_GAP:
+            cur[0] += sc
+            cur[1].append(cq)
+            cur[2].append(cr)
+        else:
+            merged.append(cur)
+            cur = [sc, [cq], [cr]]
+    merged.append(cur)
+    return [(sc, np.concatenate(qs), np.concatenate(rs))
+            for sc, qs, rs in merged]
+
+
 def _find_parts(idx: GenomeIndex, codes: np.ndarray, k: int, min_chain: int):
     """Score-based chaining for one read: every chain from the chain DP
     (align/chain.py, mm_chain_dp semantics) becomes a candidate; the
@@ -105,8 +147,10 @@ def _find_parts(idx: GenomeIndex, codes: np.ndarray, k: int, min_chain: int):
         qo = qpos[m]
         ro = rpos[m]
         qp = qo if strand == 0 else L - k - qo
-        for sc, sel in chain_anchors(qp, ro, k):
-            cands.append((sc, strand, qp[sel], ro[sel]))
+        chains = [(sc, qp[sel], ro[sel])
+                  for sc, sel in chain_anchors(qp, ro, k)]
+        for sc, cq, cr in _join_colinear(chains):
+            cands.append((sc, strand, cq, cr))
     cands.sort(key=lambda t: -t[0])
     parts = []
     spans = []  # kept query spans in original-read coords, + score
@@ -131,8 +175,10 @@ def _find_parts(idx: GenomeIndex, codes: np.ndarray, k: int, min_chain: int):
             rc = _revcomp_codes(codes)
         oriented = rc if strand else codes
         # pieces of a confident chain (structural events / contig
-        # boundaries) keep minimap2's low per-piece floor (min_cnt=3-ish)
-        piece_min = min(min_chain, 4)
+        # boundaries) keep minimap2's low per-piece floor (min_cnt=3);
+        # highly divergent reads anchor sparsely, and the chain DP's
+        # score>=40 gate (chain.MIN_SC) is the principled guard now
+        piece_min = min(min_chain, 3)
         for scq, scr in _split_chain(cq, cr, idx, k):
             if scq.size >= piece_min and len(parts) < MAX_SPLIT_PARTS:
                 parts.append((strand, scq, scr, oriented, sc, 0))
@@ -161,7 +207,7 @@ def _sa_aux(parts_info, skip: int) -> bytes:
 
 
 def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
-                   k: int = 15, w: int = 10, min_chain: int = 8,
+                   k: int = 15, w: int = 10, min_chain: int = 3,
                    match=2, mismatch=4, gapo=4, gape=2):
     """Map long reads; returns BAM-style record dicts (unpaired).
 
@@ -309,8 +355,13 @@ def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
                 sc_aln -= gapo + gape * ln
                 rj += ln
         s1, s2 = chain_sc[i]
-        mapq = int(40.0 * (1.0 - s2 / max(s1, 1))
-                   * min(1.0, cq.size / 10.0) + 0.499)
+        if s2 == 0:
+            # no overlapping competitor: unique placement (minimap2
+            # likewise saturates unique hits at 60)
+            mapq = 60 if cq.size >= 10 else min(60, 20 + 4 * int(cq.size))
+        else:
+            mapq = int(40.0 * (1.0 - s2 / max(s1, 1))
+                       * min(1.0, cq.size / 10.0) + 0.499)
         mapq = max(0, min(60, mapq))
         part_recs[i] = dict(ref_id=int(tid[0]), pos=int(pos[0]),
                             strand=strand, mapq=mapq,

@@ -408,6 +408,30 @@ def cns_tags(sel, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
                 l_del=l_del, max_delta=max_delta)
 
 
+def cell_index(ridx, rpos, cigar, cigar_off, cigar_len, start: int,
+               end: int):
+    """Native insertion-slot discovery (pileup.cpp npt_cell_index).
+    Returns ins_len int64[end-start+1] or None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "npt_cell_index"):
+        return None
+    ridx = np.ascontiguousarray(ridx, dtype=np.int64)
+    rpos = np.ascontiguousarray(rpos, dtype=np.int32)
+    cigar = np.ascontiguousarray(cigar, dtype=np.uint32)
+    cigar_off = np.ascontiguousarray(cigar_off, dtype=np.int64)
+    cigar_len = np.ascontiguousarray(cigar_len, dtype=np.int32)
+    ins_len = np.zeros(end - start + 1, dtype=np.int64)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.npt_cell_index(p(ridx), ctypes.c_longlong(len(ridx)), p(rpos),
+                       p(cigar), p(cigar_off), p(cigar_len),
+                       ctypes.c_longlong(start), ctypes.c_longlong(end),
+                       p(ins_len))
+    return ins_len
+
+
 def chain_dp(qp, rp, k: int, bw: int, max_dist: int, max_iter: int,
              max_skip: int, avg_qspan: float):
     """Native anchor-chaining DP (chain.cpp, mm_chain_dp semantics).

@@ -322,4 +322,37 @@ long long npt_pileup_sgs(
   return nnz;
 }
 
+// Insertion-slot discovery (contig_create_insert, lib/contig.c:170-245):
+// ins_len[p - start] = max insertion length anchored after position p over
+// the selected reads.  One pass over the cigars — replaces the numpy
+// flat-op expansion on the task-1 host hot path (build_cell_index).
+// ins_len must be zeroed by the caller (width = end - start + 1).
+long long npt_cell_index(
+    const int64_t *ridx, long long n_sel, const int32_t *rpos,
+    const uint32_t *cigar, const int64_t *cigar_off, const int32_t *cigar_len,
+    long long start, long long end, int64_t *ins_len) {
+  for (long long s = 0; s < n_sel; s++) {
+    const long long r = ridx[s];
+    const int32_t ncig = cigar_len[r];
+    if (ncig <= 0) continue;
+    const uint32_t *cig = cigar + cigar_off[r];
+    long long pos = rpos[r];
+    for (int32_t w = 0; w < ncig; w++) {
+      const int op = cig[w] & 0xF;
+      const long long ln = cig[w] >> 4;
+      if (op == CINS) {
+        if (pos > start && pos <= end) {
+          int64_t &m = ins_len[pos - 1 - start];
+          if (ln > m) m = ln;
+        }
+      } else if (op == CMATCH || op == CDEL || op == 3 /*REF_SKIP*/ ||
+                 op == 7 || op == 8) {
+        pos += ln;
+        if (pos > end + 1) break;
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

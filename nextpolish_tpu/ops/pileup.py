@@ -256,13 +256,21 @@ def build_cell_index(batch: AlnBatch, ins_levels: np.ndarray, tid: int,
     mask &= batch.cigar_len > 0
     ridx = np.flatnonzero(mask)
     width = end - start + 1
-    ins_len = np.zeros(width, dtype=np.int64)
+    ins_len = None
     if len(ridx):
-        op_read, op_type, op_len, qs, rs = _flat_ops(batch, ridx)
-        ins = (op_type == CINS) & (rs > start) & (rs <= end)
-        if ins.any():
-            anchors = rs[ins] - 1 - start
-            np.maximum.at(ins_len, anchors, op_len[ins])
+        from .. import native
+
+        ins_len = native.cell_index(ridx, batch.pos, batch.cigar,
+                                    batch.cigar_off, batch.cigar_len,
+                                    start, end)
+    if ins_len is None:
+        ins_len = np.zeros(width, dtype=np.int64)
+        if len(ridx):
+            op_read, op_type, op_len, qs, rs = _flat_ops(batch, ridx)
+            ins = (op_type == CINS) & (rs > start) & (rs <= end)
+            if ins.any():
+                anchors = rs[ins] - 1 - start
+                np.maximum.at(ins_len, anchors, op_len[ins])
     cell_of = np.zeros(width, dtype=np.int64)
     if width > 1:
         np.cumsum(1 + ins_len[:-1], out=cell_of[1:])
