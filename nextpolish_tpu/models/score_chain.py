@@ -188,15 +188,33 @@ def _apply_correction(state: ContigState, p: pl.Pileup, cell0: int,
     _apply_choice(state, n_dp, choice, p.counts, p.total, cell0, cfg)
 
 
-def score_chain_contig_begin(name: str, draft: bytes, batch: AlnBatch,
-                             cfg: AlgoConfig, levels=None, device=None):
-    """Pipelined task-1 entry, stage 1: host pileup + async DP dispatch.
+class _ChainHandle:
+    """One contig staged between host prep and DP finish."""
 
-    Returns a handle for score_chain_contig_end.  While the device runs
-    this contig's chain scan, the caller can begin() the next contig —
-    the host pileup walk and the device DP overlap (the two are roughly
-    equal cost, so the pipeline nearly doubles multi-contig throughput)."""
-    from ..ops.tropical import dispatch_chain_sparse
+    __slots__ = ("name", "state", "p", "cell0", "cfg", "draft", "buf",
+                 "L", "E", "TH", "dev", "lane", "holder")
+
+    def __init__(self, name, state, p, cell0, cfg, draft, buf, L, E, TH):
+        self.name = name
+        self.state = state
+        self.p = p
+        self.cell0 = cell0
+        self.cfg = cfg
+        self.draft = draft
+        self.buf = buf
+        self.L, self.E, self.TH = L, E, TH
+        self.dev = None  # device result (set at dispatch)
+        self.lane = None  # row in a batched launch
+        self.holder = None  # shared fetch memo for the batch
+
+
+def score_chain_contig_prep(name: str, draft: bytes, batch: AlnBatch,
+                            cfg: AlgoConfig, levels=None) -> _ChainHandle:
+    """Host half of task 1 for one contig: pileup walk + packed DP
+    buffer, NO device dispatch — the pipeline batches several contigs'
+    buffers into one launch (the chain scan is latency-bound, so lanes
+    ride along free; see tropical.chain_correct_packed_batch)."""
+    from ..ops.tropical import pack_chain_sparse
 
     tid = batch.header.name2id(name)
     L = len(draft)
@@ -209,12 +227,50 @@ def score_chain_contig_begin(name: str, draft: bytes, batch: AlnBatch,
     cell0 = int(state.index.cell_of[0 - state.index.start])
     p = pl.build_pileup_sparse(batch, levels, 1, view, tid, contig_nib,
                                cfg.trim_len_edge)
-    dev = dispatch_chain_sparse(p.uk, p.cn, p.rk, p.refkmer, p.total,
-                                p.index.n_cells_dp,
-                                cfg.indel_balance_factor_sgs,
-                                cov_ratio=cfg.min_count_ratio_skip,
-                                device=device)
-    return state, p, cell0, dev, cfg, draft
+    buf, Lp, E, TH = pack_chain_sparse(
+        p.uk, p.cn, p.rk, p.refkmer, p.total, p.index.n_cells_dp,
+        cfg.indel_balance_factor_sgs, cov_ratio=cfg.min_count_ratio_skip)
+    return _ChainHandle(name, state, p, cell0, cfg, draft, buf, Lp, E, TH)
+
+
+def dispatch_chain_group(handles: list, device=None) -> None:
+    """Launch one (batched) chain DP for handles sharing an (L, E, TH)
+    bucket; results start streaming to the host immediately."""
+    import jax
+
+    from ..ops.tropical import (
+        chain_correct_packed,
+        chain_correct_packed_batch,
+        start_host_copy,
+    )
+    from ..runtime import trace
+
+    h0 = handles[0]
+    if len(handles) == 1:
+        buf = h0.buf if device is None else jax.device_put(h0.buf, device)
+        h0.dev = chain_correct_packed(buf, h0.L, h0.E, h0.TH)
+        start_host_copy(h0.dev)
+    else:
+        bufs = np.stack([h.buf for h in handles])
+        if device is not None:
+            bufs = jax.device_put(bufs, device)
+        dev = chain_correct_packed_batch(bufs, h0.L, h0.E, h0.TH)
+        holder = {"dev": dev, "np": None}
+        for i, h in enumerate(handles):
+            h.holder = holder
+            h.lane = i
+        start_host_copy(dev)
+    trace.count("task1.chain_cells", h0.L * len(handles))
+    trace.count("task1.chain_launches", 1)
+
+
+def score_chain_contig_begin(name: str, draft: bytes, batch: AlnBatch,
+                             cfg: AlgoConfig, levels=None, device=None):
+    """Prep + immediate single-contig dispatch (compat entry; the
+    pipeline preps and batches instead)."""
+    h = score_chain_contig_prep(name, draft, batch, cfg, levels=levels)
+    dispatch_chain_group([h], device=device)
+    return h
 
 
 def score_chain_contig_end(handle) -> bytes:
@@ -222,13 +278,18 @@ def score_chain_contig_end(handle) -> bytes:
     emit the polished sequence."""
     from ..runtime import trace
 
-    state, p, cell0, dev, cfg, draft = handle
+    h = handle
     with trace.timed("task1.wait"):
-        packed = np.asarray(dev)
+        if h.lane is None:
+            packed = np.asarray(h.dev)
+        else:
+            if h.holder["np"] is None:
+                h.holder["np"] = np.asarray(h.holder["dev"])
+            packed = h.holder["np"][h.lane]
     with trace.timed("task1.host"):
-        _finish_correction_sparse(state, p, cell0, packed, cfg)
-        maybe_trace(cfg, state.name, state, draft)
-        return state.emit(FLAG_ZERO | FLAG_COVERAGE)
+        _finish_correction_sparse(h.state, h.p, h.cell0, packed, h.cfg)
+        maybe_trace(h.cfg, h.state.name, h.state, h.draft)
+        return h.state.emit(FLAG_ZERO | FLAG_COVERAGE)
 
 
 def score_chain_contig(name: str, draft: bytes, batch: AlnBatch,
@@ -244,12 +305,14 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
     reference's multiprocessing Pool over contigs, lib/nextpolish1.py:223-224).
     Three overlapped stages per contig:
 
-      prep (worker thread): BAM fetch + cell index + native pileup walk —
-            the ctypes call releases the GIL, so it runs concurrently with
-            the main thread;
-      device: chain DP dispatched async; the result starts streaming to the
-            host immediately (start_host_copy) so the final fetch costs ~0
-            RTT on the tunneled backend;
+      prep (worker thread): BAM fetch + cell index + native pileup walk +
+            DP buffer packing — the ctypes call releases the GIL, so it
+            runs concurrently with the main thread;
+      device: contigs sharing an (L, E, TH) shape bucket BATCH into one
+            chain launch (the scan is latency-bound — lanes ride along
+            free); results start streaming to the host immediately
+            (start_host_copy) so the final fetch costs ~0 RTT on the
+            tunneled backend;
       finish (main thread): flags + FASTA emission.
 
     Yields (name, polished bytes) in order.  `batch` may be a region source
@@ -260,12 +323,10 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
 
     import jax
 
-    from ..ops.tropical import start_host_copy
-
     streaming = hasattr(batch, "fetch")
     shared_levels = None if streaming else pl.filter_sgs_chain(batch)
-    # contig-level device parallelism: round-robin contigs over every
-    # local chip (the reference farms contig blocks across jobs,
+    # contig-level device parallelism: round-robin contig GROUPS over
+    # every local chip (the reference farms contig blocks across jobs,
     # source/nextPolish:93-117; here the chips are the blocks).  On CPU
     # the virtual devices share cores — single-device unless forced
     # (NPT_MULTIDEV=1, used by the multi-device equality test).
@@ -275,7 +336,8 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
     if jax.default_backend() == "cpu" and \
             _os.environ.get("NPT_MULTIDEV") != "1":
         devices = devices[:1]
-    n_prep = [0]
+    G = max(1, int(_os.environ.get("NPT_CHAIN_BATCH", "1")))
+    n_grp = [0]
 
     from ..runtime import trace
 
@@ -287,47 +349,78 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
                 clevels = pl.filter_sgs_chain(cbatch)
             else:
                 cbatch, clevels = batch, shared_levels
-            dev = devices[n_prep[0] % len(devices)] if len(devices) > 1 \
-                else None
-            n_prep[0] += 1
-            return score_chain_contig_begin(name, seq, cbatch, cfg,
-                                            levels=clevels, device=dev)
+            h = score_chain_contig_prep(name, seq, cbatch, cfg,
+                                        levels=clevels)
+            if G == 1:
+                # unbatched: dispatch straight from the prep thread so
+                # the DP launch overlaps the main thread maximally (on a
+                # high-RTT link the 4-deep async window hides per-launch
+                # round trips better than batching's prep barrier —
+                # measured; G>1 pays off when launches are cheap and
+                # contigs are many)
+                dev = (devices[n_grp[0] % len(devices)]
+                       if len(devices) > 1 else None)
+                n_grp[0] += 1
+                dispatch_chain_group([h], device=dev)
+            return h
+
+    staged: dict = {}  # (L, E, TH) -> [handle] awaiting dispatch
+
+    def flush(bucket=None):
+        for b in ([bucket] if bucket is not None else list(staged)):
+            hs = staged.pop(b, [])
+            if hs:
+                dev = (devices[n_grp[0] % len(devices)]
+                       if len(devices) > 1 else None)
+                n_grp[0] += 1
+                with trace.timed("task1.host"):
+                    dispatch_chain_group(hs, device=dev)
+
+    def stage(h):
+        if G == 1:
+            return  # already dispatched in the prep thread
+        b = (h.L, h.E, h.TH)
+        staged.setdefault(b, []).append(h)
+        if len(staged[b]) >= G:
+            flush(b)
 
     from collections import deque
 
-    # two prep workers: finish-side host work is now tiny, so the main
+    # two prep workers: finish-side host work is tiny, so the main
     # thread mostly waits — a second walker keeps both cores busy (the
     # native walker releases the GIL)
     with ThreadPoolExecutor(max_workers=2) as pool:
         it = iter(names_seqs)
-        # two preps in flight on in-memory batches; a streaming source
-        # (IndexedBam) shares one file handle + block cache, so its
-        # fetches must not run concurrently
-        prep_depth = 1 if streaming else 2
+        # a streaming source (IndexedBam) shares one file handle + block
+        # cache, so its fetches must not run concurrently; in-memory
+        # batches keep enough preps in flight to fill a device batch
+        prep_depth = 1 if streaming else max(2, G)
         futq: deque = deque()
         for nxt in it:
             futq.append((nxt[0], pool.submit(prep, *nxt)))
             if len(futq) >= prep_depth:
                 break
-        pending: deque = deque()  # (name, handle) with DP in flight
+        pending: deque = deque()  # handles in input order
         while futq:
             name, fut = futq.popleft()
-            h = fut.result()  # prep of this contig (DP now dispatched)
-            start_host_copy(h[3])
+            h = fut.result()
             nxt = next(it, None)
             if nxt is not None:
                 futq.append((nxt[0], pool.submit(prep, *nxt)))
+            stage(h)
             pending.append((name, h))
-            # results are fetched several contigs behind their dispatch,
-            # giving the device scan + host copy a few full prep slots
-            # (~50 ms each) to stream back before anyone blocks on them;
-            # with several chips the window deepens so every chip holds
-            # a contig
-            if len(pending) > max(4, 2 * len(devices)):
+            # results are fetched a batch-width behind their prep so the
+            # device scan + host copy stream back before anyone blocks
+            if len(pending) > max(G, 2 * len(devices)):
                 pname, ph = pending.popleft()
+                if ph.dev is None and ph.holder is None:
+                    flush((ph.L, ph.E, ph.TH))
                 yield pname, score_chain_contig_end(ph)
+        flush()
         while pending:
             pname, ph = pending.popleft()
+            if ph.dev is None and ph.holder is None:
+                flush((ph.L, ph.E, ph.TH))
             yield pname, score_chain_contig_end(ph)
 
 
