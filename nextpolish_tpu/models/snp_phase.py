@@ -169,59 +169,76 @@ def _update_flag_range(state, rs, re_, flag):
 
 
 def _find_snps(state, cc: CellCounts, cfg) -> list[Snps]:
-    """ts_find_snps (:136-203)."""
+    """ts_find_snps (:136-203), vectorized.
+
+    The sequential walk's only cross-cell state is `lasti` (the most
+    recent eligible position) and the pending-sites `right` assignment;
+    both reduce to searchsorted over the eligible-position list, because
+    an eligible cell is always the LAST cell of a position with no
+    SNP-candidate cell, so the walk's visit order is position order."""
     index = state.index
     L = index.end - index.start + 1
-    sites: list[Snps] = []
     cell_pos = index.cell_pos()
-    is_ins = index.is_insert_cell()
     ins_len = index.ins_len
-    lasti = 0
-    lastj = 0
-    flag1 = False
-    n_cells = index.n_cells
+    n = index.n_cells
     pos_cell = index.cell_of
-    # walk cells in chain order; slot j: 0 = position, 1..len = inserts
-    for c in range(n_cells):
-        i = int(cell_pos[c])
-        j = c - int(pos_cell[i])  # 0 for position cell, 1.. for slots
-        count = int(cc.total[c])
-        if count == 0:
-            state.flag[c] |= FLAG_ZERO
-        else:
-            state.flag[c] &= 0xFF ^ FLAG_ZERO
-        if count <= cfg.min_depth_snp:
-            state.flag[c] |= FLAG_DEPTH
-        else:
-            state.flag[c] &= 0xFF ^ FLAG_DEPTH
-        fl = 0
-        if count > 0:
-            maxn = cc.nlargest(c, SNP_NUM)
-            rate = (maxn[1][1] / maxn[0][1]) if len(maxn) > 1 else 0.0
-            fl = _check_snps(cfg, count, rate,
-                             maxn[0][0] == int(state.base[c]))
-            if fl == 2:
-                state.base[c] = maxn[0][0]
-            elif fl == 1:
-                if j == 0 or not (state.flag[pos_cell[i]] & FLAG_SNP):
-                    state.flag[pos_cell[i]] |= FLAG_SNP
-                    s = Snps(L - 1)
-                    s.left = lasti
-                    s.pos = i
-                    flag1 = True
-                    regions = [bytes([b]) for b, _n in maxn]
-                    if len(regions) < SNP_NUM:
-                        regions.append(bytes([int(state.base[c])]))
-                    s.regions = regions
-                    sites.append(s)
-        if (fl != 1 and not (state.flag[pos_cell[i]] & FLAG_SNP)
-                and (ins_len[i] == 0 or j == ins_len[i])):
-            lasti = i
-            if flag1:
-                while lastj < len(sites):
-                    sites[lastj].right = lasti
-                    lastj += 1
-                flag1 = False
+    total = cc.total[:n]
+    flags = state.flag
+    zero = total == 0
+    flags[:n] = np.where(zero, flags[:n] | FLAG_ZERO,
+                         flags[:n] & (0xFF ^ FLAG_ZERO))
+    shallow = total <= cfg.min_depth_snp
+    flags[:n] = np.where(shallow, flags[:n] | FLAG_DEPTH,
+                         flags[:n] & (0xFF ^ FLAG_DEPTH))
+
+    # per-cell top-2 symbols by (count desc, first-occurrence asc) —
+    # base_get_nlargest with SNP_NUM=2
+    BIG = np.iinfo(np.int64).max
+    c8 = cc.counts[:n]
+    order = cc.order[:n]
+    mx1 = c8.max(axis=1)
+    b1 = np.where(c8 == mx1[:, None], order, BIG).argmin(axis=1)
+    rest = c8.copy()
+    rest[np.arange(n), b1] = -1
+    mx2 = rest.max(axis=1)
+    b2 = np.where(rest == mx2[:, None], order, BIG).argmin(axis=1)
+    has2 = mx2 > 0
+    rate = np.where(has2, mx2 / np.maximum(mx1, 1), 0.0)
+    is_ref = b1 == state.base[:n].astype(np.int64)
+    msf = cfg.min_snp_factor_sgs
+    fl = np.where((rate < msf) & is_ref, 0,
+                  np.where((rate == 0)
+                           | ((total >= cfg.min_count_snp) & ~is_ref
+                              & (rate < msf)), 2, 1))
+    fl = np.where(total > 0, fl, 0)
+    upd = fl == 2
+    state.base[:n][upd] = b1[upd]
+
+    fl1 = fl == 1
+    pos_of = cell_pos[:n]
+    posf = np.zeros(L, dtype=bool)
+    posf[pos_of[fl1]] = True
+    state.flag[pos_cell[np.flatnonzero(posf)]] |= FLAG_SNP
+    # creator cells: the first SNP-candidate cell of each position
+    f1idx = np.flatnonzero(fl1)
+    if not len(f1idx):
+        return []
+    first = np.ones(len(f1idx), dtype=bool)
+    first[1:] = pos_of[f1idx[1:]] != pos_of[f1idx[:-1]]
+    creators = f1idx[first]
+    # eligible positions (lasti candidates): no SNP-candidate cell at all
+    elig = np.flatnonzero(~posf)
+    sites: list[Snps] = []
+    for c in creators:
+        i = int(pos_of[c])
+        k = int(np.searchsorted(elig, i))
+        s = Snps(L - 1)
+        s.left = int(elig[k - 1]) if k > 0 else 0
+        s.pos = i
+        if k < len(elig):
+            s.right = int(elig[k])
+        s.regions = [bytes([int(b1[c])]), bytes([int(b2[c])])]
+        sites.append(s)
     return sites
 
 
