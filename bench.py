@@ -442,6 +442,8 @@ def main():
     if os.environ.get("NPT_CNS_ENGINE") is None:
         os.environ["NPT_CNS_ENGINE"] = "device"
     out5 = run_cns()  # compile pass
+    run_cns()  # second pass: the cross-contig batcher composes groups
+    # nondeterministically, so one pass may miss some (B, P) buckets
     assert sum(len(s) for _, s in out5) > 0.9 * sum(
         len(d) for d in drafts5)
     trace.reset("cns")

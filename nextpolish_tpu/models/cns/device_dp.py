@@ -443,10 +443,11 @@ def pack_group(chunk, rt_id, c):
     # cross-contig batcher composes groups nondeterministically — a fine
     # bucket lattice turns batch composition jitter into fresh compiles
     # mid-run.  E and Vb only widen the kernel's lane space (zero extra
-    # transfer bytes — the entry streams are Et-sized), so they pin to
-    # one or two values; only P (entry-stream pad, real wire bytes)
-    # keeps the fine 1.25x buckets.
-    E = MAX_PALLAS_E
+    # transfer bytes — the entry streams are Et-sized), so they take
+    # one of two values (E=16 runs ~1.8x faster per level than the
+    # E=20 cap, and most windows fit it); only P (entry-stream pad,
+    # real wire bytes) keeps the fine 1.25x buckets.
+    E = 16 if max(dw.E for dw in chunk) <= 16 else MAX_PALLAS_E
     Vb = 8 if max(dw.Vb for dw in chunk) <= 8 else 24
     B = min(x for x in (1, 2, 4, 8, 16, 32)
             if x >= len(chunk))
