@@ -409,9 +409,10 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
                 futq.append((nxt[0], pool.submit(prep, *nxt)))
             stage(h)
             pending.append((name, h))
-            # results are fetched a batch-width behind their prep so the
-            # device scan + host copy stream back before anyone blocks
-            if len(pending) > max(G, 2 * len(devices)):
+            # results are fetched several contigs behind their dispatch,
+            # giving the device scan + host copy a few full prep slots
+            # to stream back before anyone blocks on them
+            if len(pending) > max(4, G, 2 * len(devices)):
                 pname, ph = pending.popleft()
                 if ph.dev is None and ph.holder is None:
                     flush((ph.L, ph.E, ph.TH))
