@@ -260,6 +260,8 @@ def dispatch_chain_group(handles: list, device=None) -> None:
             h.holder = holder
             h.lane = i
         start_host_copy(dev)
+    for h in handles:  # the pack buffer is device-side now; don't let
+        h.buf = None   # pending handles hold its host copy alive
     trace.count("task1.chain_cells", h0.L * len(handles))
     trace.count("task1.chain_launches", 1)
 

@@ -181,6 +181,24 @@ def _traceback(P, b_end, chunk):
         [jnp.flip(bvals[: L - 1]), b_end.astype(jnp.int8)[None]])
 
 
+def _traceback_batch(P, b_end, chunk):
+    """_traceback with a leading contig axis: P [B, L, S], b_end [B].
+    Each contig's reverse map-composition scan is independent, so the
+    batch is bit-identical to per-contig _traceback calls."""
+    B, L, _ = P.shape
+    onehot = jax.nn.one_hot(P, S, dtype=jnp.float32)
+    Mt = jnp.where(onehot > 0, jnp.float32(0.0), NEG)
+    eye = jnp.broadcast_to(_eye()[None, None], (B, 1, S, S))
+    Mrev = jnp.concatenate([jnp.flip(Mt[:, 1:], axis=1), eye], axis=1)
+    u = jnp.where(jnp.arange(S)[None, :] == b_end[:, None],
+                  jnp.float32(0.0), NEG)
+    frev = _forward_states(Mrev, u, chunk)  # [B, L, S]
+    bvals = jnp.argmax(frev, axis=2).astype(jnp.int8)
+    return jnp.concatenate(
+        [jnp.flip(bvals[:, : L - 1], axis=1),
+         b_end.astype(jnp.int8)[:, None]], axis=1)
+
+
 def _chain_core(counts, rank, refkmer, total, valid, rate, s0, chunk):
     em = emission(counts, refkmer, total, rate)
     A = build_transition(em)
@@ -262,8 +280,7 @@ def chain_correct_packed(buf, L, E, TH, chunk=CHUNK):
     valid = jnp.arange(L, dtype=jnp.int32) < n_dp
     s0 = jnp.where((s0mask >> jnp.arange(S)) & 1 != 0, jnp.float32(0.0), NEG)
     P, msel, cov2 = _chain_entries_core(
-        uk, cn, rk, rkm, total, valid, rate, s0[None, :],
-        jnp.zeros(1, jnp.int32), L, chunk)
+        uk, cn, rk, rkm, total, valid, rate, s0[None, :], 1, L, chunk)
     lastidx = jnp.maximum(n_dp - 1, 0)
     choice = _traceback(P, msel[lastidx], chunk)
     cov = jnp.take_along_axis(cov2, choice.astype(jnp.int32)[:, None],
@@ -274,7 +291,7 @@ def chain_correct_packed(buf, L, E, TH, chunk=CHUNK):
 
 
 def _chain_entries_core(uk, cn, rk, refkmer, total, valid, rate, s0_all,
-                        starts, Ltot, chunk):
+                        B, L, chunk):
     """Chain DP in SPARSE ENTRY SPACE — the device half of the packed
     paths.  A pileup cell observes ~2-4 of its 512 possible kmers, so
     the dense [L, 512] emission/score tensors are >99% NEG padding; the
@@ -284,14 +301,17 @@ def _chain_entries_core(uk, cn, rk, refkmer, total, valid, rate, s0_all,
     and [L, S] pointer tables materialize.  Measured ~7x faster than
     the dense formulation on a 131k-cell contig, bit-identical results.
 
-    `s0_all`/`starts` seed multiple concatenated contigs (see
-    chain_correct_packed_batch): A at each start becomes the rank-1
-    reset Ã[i,j] = max_k(s0[k] + A0[k,j]) and the pointer pass sees
-    fprev = s0 there; with one contig this reproduces chain_correct's
-    seeding exactly (shift-invariance).
+    B contigs of L cells each batch as a LEADING SCAN AXIS: segment
+    reductions run flat over the B*L global cell space (numerically
+    independent per cell), and the sequential forward scan runs with
+    batch dims so every contig's state trajectory is bit-identical to
+    its single-contig run (a concatenated-chain formulation with reset
+    matrices is only shift-invariant in exact arithmetic — f32 rounding
+    of shifted scores flips ties).
 
-    Returns (P [Ltot, S] predecessor table, msel [Ltot] base_max_score
-    picks, cov2 [Ltot, S] per-suffix coverage sums)."""
+    Returns (P [B*L, S] predecessor table, msel [B*L] base_max_score
+    picks, cov2 [B*L, S] per-suffix coverage sums)."""
+    Ltot = B * L
     e_cell = uk // K3
     e_kmer = uk % K3
     e_b2 = (e_kmer >> 3) & 7
@@ -313,13 +333,9 @@ def _chain_entries_core(uk, cn, rk, refkmer, total, valid, rate, s0_all,
     rowmax = jnp.max(A, axis=2)
     A = A.at[:, :, 0].set(rowmax)
     A = jnp.where(valid[:, None, None], A, _eye()[None])
-    nb = s0_all.shape[0]
-    target = jnp.max(s0_all[:, :, None] + A[starts], axis=1)  # [nb, S]
-    A = A.at[starts].set(jnp.broadcast_to(target[:, None, :], (nb, S, S)))
-    f = _forward_states(A, jnp.zeros(S, jnp.float32), chunk)
-    fprev = jnp.concatenate([jnp.zeros((1, S), jnp.float32), f[:-1]],
-                            axis=0)
-    fprev = fprev.at[starts].set(s0_all)
+    f = _forward_states(A.reshape(B, L, S, S), s0_all, chunk)  # [B, L, S]
+    fprev = jnp.concatenate([s0_all[:, None, :], f[:, :-1]],
+                            axis=1).reshape(Ltot, S)
     # per-entry chain scores; winners per (cell, suffix) with the exact
     # min-insertion-rank tie rule (base_add_score / base_max_score,
     # lib/base.c:159-197)
@@ -344,8 +360,9 @@ def _chain_entries_core(uk, cn, rk, refkmer, total, valid, rate, s0_all,
     cand = (V2 == Vmax[:, None]) & obs2
     msel = jnp.argmin(jnp.where(cand, Rm2, RANK_BIG),
                       axis=1).astype(jnp.int32)
-    msel_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), msel[:-1]])
-    msel_prev = msel_prev.at[starts].set(0)
+    msel_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         msel.reshape(B, L)[:, :-1]], axis=1).reshape(Ltot)
     P = jnp.where(wb2 != 0, wb2.astype(jnp.int32), msel_prev[:, None])
     P = jnp.where(valid[:, None], P, jnp.arange(S, dtype=jnp.int32)[None])
     return P, msel, cov3[: Ltot * 8].reshape(Ltot, S)
@@ -397,16 +414,14 @@ def chain_correct_packed_batch(bufs, L, E, TH, chunk=CHUNK):
     valid = (jnp.arange(L)[None, :] < n_dp[:, None]).reshape(B * L)
     s0_all = jnp.where((s0mask[:, None] >> jnp.arange(S)[None, :]) & 1 != 0,
                        jnp.float32(0.0), NEG)  # [B, S]
-    starts = jnp.arange(B, dtype=jnp.int32) * L
     P, msel, cov2 = _chain_entries_core(
         uk_g.ravel(), cn.ravel(), rk.ravel(), refkmer, total, valid, rate,
-        s0_all, starts, B * L, chunk)
+        s0_all, B, L, chunk)
+    starts = jnp.arange(B, dtype=jnp.int32) * L
     lastidx = starts + jnp.maximum(n_dp - 1, 0)
     b_ends = msel[lastidx]  # [B]
-    if B > 1:
-        P = P.at[starts[1:]].set(
-            jnp.broadcast_to(b_ends[:-1, None], (B - 1, S)))
-    choice = _traceback(P, b_ends[B - 1], chunk)
+    choice = _traceback_batch(P.reshape(B, L, S), b_ends,
+                              chunk).reshape(B * L)
     cov = jnp.take_along_axis(cov2, choice.astype(jnp.int32)[:, None],
                               axis=1)[:, 0]
     zero = (total == 1).astype(jnp.int8) << FLAGB_ZERO

@@ -1,11 +1,51 @@
-"""Chain-DP tests: native vs python parity, repeat-copy selection, and
-mapq ambiguity signalling."""
+"""Chain-DP tests: native vs python parity, repeat-copy selection, mapq
+ambiguity signalling, and the lane-packed multi-contig task-1 batch."""
 import numpy as np
 
 from nextpolish_tpu import native
 from nextpolish_tpu.align.chain import (
     BW, MAX_DIST, MAX_ITER, MAX_SKIP, chain_anchors, chain_dp_py,
 )
+
+
+def test_packed_batch_matches_singles():
+    """chain_correct_packed_batch (contigs lane-concatenated with rank-1
+    reset transitions) must byte-match per-contig launches."""
+    from nextpolish_tpu.ops import tropical as tr
+
+    rng = np.random.default_rng(5)
+    K3 = 512
+    cases = []
+    mx = 0
+    for b in range(4):
+        n_dp = 1100 - b * 8  # small spread keeps one (L, E) bucket
+        cells = np.repeat(np.arange(n_dp, dtype=np.int64), 4)
+        kmers = rng.integers(0, K3, 4 * n_dp)
+        uk = np.unique(cells * K3 + kmers)
+        cn = rng.integers(1, 50, len(uk)).astype(np.int64)
+        rk = tr._index_order_ranks(uk)
+        refkmer = (uk[np.searchsorted(uk, np.arange(n_dp) * K3)]
+                   % K3).astype(np.int32)
+        total = rng.integers(2, 90, n_dp).astype(np.int32)
+        mx = max(mx, int(total.max()))
+        cases.append((uk, cn, rk, refkmer, total, n_dp))
+    bufs, singles = [], []
+    shape = None
+    for uk, cn, rk, refkmer, total, n_dp in cases:
+        t2 = total.copy()
+        t2[0] = mx  # unify the TH bucket across lanes
+        buf, L, E, TH = tr.pack_chain_sparse(uk, cn, rk, refkmer, t2,
+                                             n_dp, 0.5)
+        assert shape is None or shape == (L, E, TH)
+        shape = (L, E, TH)
+        bufs.append(buf)
+        singles.append(np.asarray(
+            tr.chain_correct_packed(buf, L, E, TH))[:n_dp])
+    L, E, TH = shape
+    batch = np.asarray(
+        tr.chain_correct_packed_batch(np.stack(bufs), L, E, TH))
+    for i, want in enumerate(singles):
+        np.testing.assert_array_equal(batch[i][: len(want)], want)
 
 
 def test_native_matches_python():
