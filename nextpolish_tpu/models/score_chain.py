@@ -413,8 +413,12 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
             pending.append((name, h))
             # results are fetched several contigs behind their dispatch,
             # giving the device scan + host copy a few full prep slots
-            # to stream back before anyone blocks on them
-            if len(pending) > max(4, G, 2 * len(devices)):
+            # to stream back before anyone blocks on them.  A streaming
+            # source keeps the window tight: its serial BAM fetches are
+            # the bottleneck anyway, and every pending handle holds a
+            # contig's pileup in RAM (the O(window) memory contract)
+            win = 2 if streaming else max(4, G, 2 * len(devices))
+            if len(pending) > win:
                 pname, ph = pending.popleft()
                 if ph.dev is None and ph.holder is None:
                     flush((ph.L, ph.E, ph.TH))
