@@ -255,7 +255,13 @@ pipe = P.Pipeline(cfg)
 os.makedirs(cfg.workdir, exist_ok=True)
 out = {wd!r} + "/part." + mode + ".fa"
 pipe.polish_task(1, {draft!r}, out)
-rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+# NOT ru_maxrss: with posix_spawn the child task inherits the parent's
+# peak (a full pytest run reports its own ~GB for BOTH modes); VmHWM is
+# per-mm and execve resets it
+rss = 0
+for line in open("/proc/self/status"):
+    if line.startswith("VmHWM:"):
+        rss = int(line.split()[1])
 lens = {{}}
 name = None
 for line in open(out, "rb"):

@@ -174,7 +174,13 @@ cfg = AlgoConfig(); cfg.read_tlen = estimate_read_tlen(head, cfg)
 out = {{}}
 for name, seq in score_chain_pipeline(genome, src, cfg):
     out[name] = len(seq)
-rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+# NOT ru_maxrss: with posix_spawn the child task inherits the parent's
+# peak (a full pytest run reports its own ~GB for BOTH modes); VmHWM is
+# per-mm and execve resets it
+rss = 0
+for line in open("/proc/self/status"):
+    if line.startswith("VmHWM:"):
+        rss = int(line.split()[1])
 print(json.dumps({{"rss_kb": rss, "lens": out}}))
 """.format(repo=REPO, fa=fa, bam=path)
 
