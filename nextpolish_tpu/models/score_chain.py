@@ -437,9 +437,11 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
 SHARD_MIN_LEN = 30_000_000
 
 
-# cells per sharded-chain window: dense [Wc, 512] i32 merge tensors stay
-# ~0.5 GB/device and the int32 key space (Wc * 512) stays far inside 2^31
-SHARD_WINDOW_CELLS = 1 << 21
+# cells per sharded-chain window: the merge scatters counts + observation
+# keys as [Wc * 512] i32 (~1 GB/device at 2^19) and the rank derivation
+# argsorts the same shape — 2^19 keeps peak device memory ~3 GB with the
+# int32 key space far inside 2^31
+SHARD_WINDOW_CELLS = 1 << 19
 
 
 def score_chain_contig_sharded(name: str, draft: bytes, batch: AlnBatch,
