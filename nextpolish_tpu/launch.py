@@ -49,10 +49,10 @@ def launch_local(cfg: str, nprocs: int, base_env: dict) -> int:
         env = dict(base_env, NPT_COORDINATOR=coord,
                    NPT_NUM_PROCS=str(nprocs), NPT_PROC_ID=str(rank))
         procs.append(subprocess.Popen(_worker_cmd(cfg), env=env))
-    rc = 0
-    for p in procs:
-        rc = rc or p.wait()
-    return rc
+    # wait on EVERY process (no short-circuit): all ranks must be reaped
+    # even after an early failure, and the first nonzero code wins
+    codes = [p.wait() for p in procs]
+    return next((c for c in codes if c), 0)
 
 
 def launch_ssh(cfg: str, hosts: list[str], port: int, base_env: dict) -> int:
@@ -67,10 +67,8 @@ def launch_ssh(cfg: str, hosts: list[str], port: int, base_env: dict) -> int:
         cmd = f"cd {shlex.quote(os.getcwd())} && {envs} " + " ".join(
             shlex.quote(c) for c in _worker_cmd(cfg))
         procs.append(subprocess.Popen(["ssh", host, cmd]))
-    rc = 0
-    for p in procs:
-        rc = rc or p.wait()
-    return rc
+    codes = [p.wait() for p in procs]
+    return next((c for c in codes if c), 0)
 
 
 def launch_slurm(cfg: str, nprocs: int, base_env: dict) -> int:

@@ -457,8 +457,10 @@ def score_chain_contig_sharded(name: str, draft: bytes, batch: AlnBatch,
     SHARD_WINDOW_CELLS process as a window sequence: the forward scan's
     state vector chains through s0 (pointer decisions are
     shift-invariant, so windowing is byte-exact), and the traceback
-    stitches backward from the contig end.  Byte-equal to
-    score_chain_contig by test."""
+    stitches backward from the contig end, resolving each window's
+    first-cell running-max placeholder (b_prev == 0) to the previous
+    window's msel.  Byte-equal to score_chain_contig by test (including
+    a boundary pinned on a divergence-prone cell)."""
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
@@ -561,6 +563,8 @@ def score_chain_contig_sharded(name: str, draft: bytes, batch: AlnBatch,
 
     # backward stitch: the traceback seed of window w is the base its
     # successor's first-cell pointer demands
+    import jax.numpy as jnp
+
     tb = make_merge_traceback(mesh, Wc)
     last_P, last_flags, last_msel, last_n = tbs[-1]
     b_end = last_msel[last_n - 1]
@@ -569,7 +573,14 @@ def score_chain_contig_sharded(name: str, draft: bytes, batch: AlnBatch,
         Ptab, flags, msel, n_dp_w = tbs[w]
         packed, b_prev = tb(Ptab, flags, b_end)
         packs[w] = (packed, n_dp_w)
-        b_end = b_prev
+        if w:
+            # P[0]'s wb2 branch never yields 0 (jnp.where(wb2 != 0, ...)),
+            # so b_prev == 0 unambiguously marks the first-cell placeholder:
+            # the winning kmer chains through the running max, whose true
+            # predecessor is the PREVIOUS window's base_max_score pick at
+            # its last valid cell (a no-op when that msel is also 0)
+            pmsel, pn = tbs[w - 1][2], tbs[w - 1][3]
+            b_end = jnp.where(b_prev == 0, pmsel[pn - 1], b_prev)
     packed = np.concatenate([np.asarray(p)[:nw] for p, nw in packs]) \
         if packs else np.zeros(0, np.int8)
     p0 = shards[0]

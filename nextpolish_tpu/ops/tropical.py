@@ -380,15 +380,19 @@ def chain_correct_packed_batch(bufs, L, E, TH, chunk=CHUNK):
     vmap formulation instead serializes the big scatters and triples the
     wall; measured 5x slower.)
 
-    Contig boundaries are handled exactly:
-      * the transition matrix at each contig's first cell becomes the
-        rank-1 "reset" Ã[i,j] = max_k(s0[k] + A0[k,j]) — tropical
-        composition with it yields the fresh-start state shifted by a
-        constant, and every downstream argmax is shift-invariant;
-      * the pointer pass sees fprev = s0 at first cells;
-      * the traceback pass forces P[first cell of contig c+1, :] =
-        msel[last valid cell of c], restarting each contig's backtrack
-        at its own chain end (lib/contig.c:473-496 per region).
+    Contig boundaries are handled exactly by keeping each contig on its
+    OWN row of a leading scan axis (no cross-row state ever mixes):
+      * the forward scan runs with batch dims — row b starts from its
+        own s0 (derived from its s0mask), so every state trajectory is
+        bit-identical to that contig's single-row run (a concatenated
+        chain with rank-1 reset matrices is only shift-invariant in
+        exact arithmetic; f32 rounding of shifted scores flips ties —
+        see _chain_entries_core);
+      * the pointer pass sees fprev = s0 and msel_prev = 0 at each
+        row's first cell (per-row reset of the running-max chain);
+      * the traceback runs per row (_traceback_batch) seeded from
+        msel[last valid cell of that row] (lib/contig.c:473-496 per
+        region).
     """
     b32 = bufs.astype(jnp.int32)  # [B, buflen]
     B = b32.shape[0]

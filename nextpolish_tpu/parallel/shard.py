@@ -189,7 +189,12 @@ def make_merge_traceback(mesh: Mesh, L: int, chunk: int = 128):
     or msel at the contig end), emit the packed per-cell result byte
     (choice | FLAG_ZERO bit 3 | FLAG_COVERAGE bit 4 — the
     chain_correct_packed contract) plus the base the PREVIOUS window
-    must end with."""
+    must end with.  b_prev == 0 is a PLACEHOLDER, not a real base: cell
+    0's pointer row uses msel_prev[0] = 0 when the winning kmer chains
+    through the running max (wb2 == 0 — that branch never yields 0
+    itself), and the caller must substitute the previous window's msel
+    at its last valid cell (score_chain_contig_sharded's backward
+    stitch does)."""
     ck = ("tb", id(mesh), L, chunk)
     if ck in _MERGE_STEPS:
         return _MERGE_STEPS[ck]
