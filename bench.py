@@ -308,7 +308,8 @@ def measure_chain_kernel(prep_handle=None):
     try:
         if prep_handle is not None and prep_handle.buf is not None:
             buf = prep_handle.buf
-            L, E, TH = prep_handle.L, prep_handle.E, prep_handle.TH
+            kind, shape = prep_handle.key[0], prep_handle.key[1:]
+            L = prep_handle.L
         else:
             rng = np.random.default_rng(7)
             K3 = 512
@@ -324,11 +325,14 @@ def measure_chain_kernel(prep_handle=None):
                        % K3).astype(np.int32)
             total = np.full(n_dp, per * 20, np.int32)
             cfg = AlgoConfig()
-            buf, L, E, TH = tr.pack_chain_sparse(
+            buf, L, Emax, EOV, TH = tr.pack_chain_planes(
                 uk, cn, rk, refkmer, total, n_dp,
                 cfg.indel_balance_factor_sgs)
+            kind, shape = "planes", (L, Emax, EOV, TH)
         bufd = jax.device_put(buf)
-        launch = lambda: tr.chain_correct_packed(bufd, L, E, TH)  # noqa
+        kfn = (tr.chain_correct_planes if kind == "planes"
+               else tr.chain_correct_packed)
+        launch = lambda: kfn(bufd, *shape)  # noqa
 
         def fetch(h):
             return np.asarray(h[:8])

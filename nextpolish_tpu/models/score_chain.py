@@ -192,9 +192,9 @@ class _ChainHandle:
     """One contig staged between host prep and DP finish."""
 
     __slots__ = ("name", "state", "p", "cell0", "cfg", "draft", "buf",
-                 "L", "E", "TH", "dev", "lane", "holder")
+                 "key", "dev", "lane", "holder")
 
-    def __init__(self, name, state, p, cell0, cfg, draft, buf, L, E, TH):
+    def __init__(self, name, state, p, cell0, cfg, draft, buf, key):
         self.name = name
         self.state = state
         self.p = p
@@ -202,19 +202,27 @@ class _ChainHandle:
         self.cfg = cfg
         self.draft = draft
         self.buf = buf
-        self.L, self.E, self.TH = L, E, TH
+        self.key = key  # jit shape bucket: ("planes", L, Emax, EOV, TH)
+        #               or ("entries", L, E, TH)
         self.dev = None  # device result (set at dispatch)
         self.lane = None  # row in a batched launch
         self.holder = None  # shared fetch memo for the batch
+
+    @property
+    def L(self):
+        return self.key[1]
 
 
 def score_chain_contig_prep(name: str, draft: bytes, batch: AlnBatch,
                             cfg: AlgoConfig, levels=None) -> _ChainHandle:
     """Host half of task 1 for one contig: pileup walk + packed DP
     buffer, NO device dispatch — the pipeline batches several contigs'
-    buffers into one launch (the chain scan is latency-bound, so lanes
-    ride along free; see tropical.chain_correct_packed_batch)."""
-    from ..ops.tropical import pack_chain_sparse
+    buffers into one launch (the slot-plane kernel has no big scatters
+    and lanes ride the scan nearly free; see
+    tropical.chain_correct_planes_batch)."""
+    import os as _os
+
+    from ..ops.tropical import pack_chain_planes, pack_chain_sparse
 
     tid = batch.header.name2id(name)
     L = len(draft)
@@ -227,34 +235,50 @@ def score_chain_contig_prep(name: str, draft: bytes, batch: AlnBatch,
     cell0 = int(state.index.cell_of[0 - state.index.start])
     p = pl.build_pileup_sparse(batch, levels, 1, view, tid, contig_nib,
                                cfg.trim_len_edge)
-    buf, Lp, E, TH = pack_chain_sparse(
-        p.uk, p.cn, p.rk, p.refkmer, p.total, p.index.n_cells_dp,
-        cfg.indel_balance_factor_sgs, cov_ratio=cfg.min_count_ratio_skip)
-    return _ChainHandle(name, state, p, cell0, cfg, draft, buf, Lp, E, TH)
+    if _os.environ.get("NPT_CHAIN_IMPL") == "entries":
+        buf, Lp, E, TH = pack_chain_sparse(
+            p.uk, p.cn, p.rk, p.refkmer, p.total, p.index.n_cells_dp,
+            cfg.indel_balance_factor_sgs,
+            cov_ratio=cfg.min_count_ratio_skip)
+        key = ("entries", Lp, E, TH)
+    else:
+        buf, Lp, Emax, EOV, TH = pack_chain_planes(
+            p.uk, p.cn, p.rk, p.refkmer, p.total, p.index.n_cells_dp,
+            cfg.indel_balance_factor_sgs,
+            cov_ratio=cfg.min_count_ratio_skip)
+        key = ("planes", Lp, Emax, EOV, TH)
+    return _ChainHandle(name, state, p, cell0, cfg, draft, buf, key)
 
 
 def dispatch_chain_group(handles: list, device=None) -> None:
-    """Launch one (batched) chain DP for handles sharing an (L, E, TH)
-    bucket; results start streaming to the host immediately."""
+    """Launch one (batched) chain DP for handles sharing a shape-bucket
+    key; results start streaming to the host immediately."""
     import jax
 
     from ..ops.tropical import (
         chain_correct_packed,
         chain_correct_packed_batch,
+        chain_correct_planes,
+        chain_correct_planes_batch,
         start_host_copy,
     )
     from ..runtime import trace
 
     h0 = handles[0]
+    kind, shape = h0.key[0], h0.key[1:]
+    single = (chain_correct_planes if kind == "planes"
+              else chain_correct_packed)
+    batched = (chain_correct_planes_batch if kind == "planes"
+               else chain_correct_packed_batch)
     if len(handles) == 1:
         buf = h0.buf if device is None else jax.device_put(h0.buf, device)
-        h0.dev = chain_correct_packed(buf, h0.L, h0.E, h0.TH)
+        h0.dev = single(buf, *shape)
         start_host_copy(h0.dev)
     else:
         bufs = np.stack([h.buf for h in handles])
         if device is not None:
             bufs = jax.device_put(bufs, device)
-        dev = chain_correct_packed_batch(bufs, h0.L, h0.E, h0.TH)
+        dev = batched(bufs, *shape)
         holder = {"dev": dev, "np": None}
         for i, h in enumerate(handles):
             h.holder = holder
@@ -381,7 +405,7 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
     def stage(h):
         if G == 1:
             return  # already dispatched in the prep thread
-        b = (h.L, h.E, h.TH)
+        b = h.key
         staged.setdefault(b, []).append(h)
         if len(staged[b]) >= G:
             flush(b)
@@ -421,13 +445,13 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
             if len(pending) > win:
                 pname, ph = pending.popleft()
                 if ph.dev is None and ph.holder is None:
-                    flush((ph.L, ph.E, ph.TH))
+                    flush(ph.key)
                 yield pname, score_chain_contig_end(ph)
         flush()
         while pending:
             pname, ph = pending.popleft()
             if ph.dev is None and ph.holder is None:
-                flush((ph.L, ph.E, ph.TH))
+                flush(ph.key)
             yield pname, score_chain_contig_end(ph)
 
 

@@ -433,6 +433,295 @@ def chain_correct_packed_batch(bufs, L, E, TH, chunk=CHUNK):
     return (choice | zero | low).reshape(B, L)
 
 
+# ---------------------------------------------------------------------------
+# per-cell SLOT-PLANE formulation — the production packed path.
+#
+# Stage bisection of the entry-space launch (tools/profile_chain.py, TPU
+# v5e: decode 0.2 / emission gathers 7.8 / A-build scatter 10.2 / forward
+# scan 0.4 / pointer segment passes 13.5 / traceback+flags 4.3 ms) shows
+# ~31 of 36 ms in gather/scatter over the E entry space, NOT in the
+# sequential scans.  A pileup cell observes few distinct kmers and the
+# first-observation rank IS a dense per-cell slot index, so the entries
+# lay out as [Emax, L] kmer/count planes (slot j of cell c at plane j) —
+# every former segment reduction becomes a masked reduction over the
+# tiny slot axis that XLA fuses, with zero big scatters.  Cells with
+# more than Emax distinct kmers spill to a small overflow entry list
+# processed by the old segment-scatter path and merged exactly (max/min/
+# sum are order-free; ties compare identical f32 values).  Plane-major
+# layout also compresses well on the tunneled host<->device link (plane
+# 0 = draft kmers, high planes mostly zero).
+# ---------------------------------------------------------------------------
+
+
+CNT_CAP = 127  # dense slot count cap (7 bits of the kmer<<7|count word)
+
+
+def pack_chain_planes(uk_in, cn_in, rk_in, refkmer, total, n_dp, rate,
+                      cov_ratio: float = 0.8, chunk: int = CHUNK):
+    """Host packing for chain_correct_planes: ONE u16 buffer
+    [kcpl(Emax*L) | total(L) |
+     ovk_lo(EOV) | ovk_hi(EOV) | ovcn(EOV) | ovrk(EOV) |
+     s0mask, rate_lo, rate_hi, n_dp_lo, n_dp_hi, nov_lo, nov_hi |
+     th(2*TH as lo/hi pairs)].
+    Each dense slot packs kmer<<7 | count into one u16, and plane 0
+    doubles as the refkmer row (the contig-as-read emission is every DP
+    cell's first observation, so slot 0's kmer IS the draft kmer; the
+    pack verifies this and diverts any mismatching cell's slot 0).  The
+    wire is the bottleneck on tunneled rigs, so the format is as tight
+    as exactness allows: entries with rank >= Emax OR count > CNT_CAP
+    divert to the overflow list with exact u16 counts and explicit
+    ranks — a diverted entry just leaves its slot empty, which the
+    kernel treats as unobserved, so the slot-index-is-rank invariant
+    holds for whatever remains dense.  Emax is chosen per contig ({3,
+    8, 16}) to minimize buffer bytes.  Returns (buf, L, Emax, EOV, TH);
+    EOV == 0 when nothing diverts (the common case — the launch then
+    contains no scatter at all)."""
+    L = pad_to_chunk(max(n_dp, 1), chunk)
+    hi = int(np.searchsorted(uk_in, n_dp * K3))
+    cells = (uk_in[:hi] // K3).astype(np.int64)
+    kmers = (uk_in[:hi] % K3).astype(np.uint16)
+    cnc = np.minimum(cn_in[:hi], 0xFFFF).astype(np.uint16)
+    rkc = np.asarray(rk_in[:hi], dtype=np.int64)
+    divert = (cnc > CNT_CAP) | ((rkc == 0) & (kmers != refkmer[cells]))
+    # ranks are dense per cell, so rank >= Emax counts the spill exactly;
+    # pick the Emax bucket minimizing wire bytes + a 4x overflow-byte
+    # penalty (each overflow entry also costs device scatter passes —
+    # measured: 32k entries add ~5 ms to an otherwise 2.5 ms launch)
+    best = None
+    for em in (3, 4, 6, 8, 16):
+        nov = int((divert | (rkc >= em)).sum())
+        eov = 0 if nov == 0 else _pow2(max(nov, 512))
+        cost = 2 * em * L + 4 * 8 * eov
+        if best is None or cost < best[0]:
+            best = (cost, em, eov, nov)
+    _, Emax, EOV, nov = best
+    sel = ~divert & (rkc < Emax)
+    k0 = uk_in[: int(np.searchsorted(uk_in, K3))]
+    s0mask = 1 | int(np.bitwise_or.reduce(
+        1 << np.unique((k0 >> 3) & 7))) if len(k0) else 1
+    maxt = int(total[:n_dp].max()) if n_dp else 1
+    TH = _pow2(min(maxt + 1, TH_CAP))
+    buf = np.zeros(Emax * L + L + 4 * EOV + 7 + 2 * TH, dtype=np.uint16)
+    kcpl = buf[: Emax * L]
+    # plane 0 always carries the draft kmer (count 0 where diverted)
+    kcpl[:n_dp] = (refkmer[:n_dp].astype(np.uint16) << 7)
+    flat = rkc[sel] * L + cells[sel]
+    kcpl[flat] = (kmers[sel] << 7) | cnc[sel]
+    o = Emax * L
+    np.minimum(total[:n_dp], 0xFFFF, out=buf[o: o + n_dp],
+               casting="unsafe")
+    o += L
+    if EOV:
+        ovk = (cells[~sel] * K3 + kmers[~sel]).astype(np.uint32)
+        buf[o: o + nov] = ovk & 0xFFFF
+        buf[o + EOV: o + EOV + nov] = ovk >> 16
+        buf[o + 2 * EOV: o + 2 * EOV + nov] = cnc[~sel]
+        buf[o + 3 * EOV: o + 3 * EOV + nov] = rkc[~sel].astype(np.uint16)
+        o += 4 * EOV
+    buf[o] = s0mask
+    r32 = np.float32(rate).view(np.uint32)
+    buf[o + 1] = r32 & 0xFFFF
+    buf[o + 2] = r32 >> 16
+    buf[o + 3] = n_dp & 0xFFFF
+    buf[o + 4] = n_dp >> 16
+    buf[o + 5] = nov & 0xFFFF
+    buf[o + 6] = nov >> 16
+    thv = coverage_thresholds(TH - 1, cov_ratio).astype(np.uint32)
+    buf[o + 7:o + 7 + 2 * TH:2] = thv & 0xFFFF
+    buf[o + 8:o + 8 + 2 * TH:2] = thv >> 16
+    return buf, L, Emax, EOV, TH
+
+
+def _chain_planes_core(kpl, cpl, refk, total, valid, rate, s0_all,
+                       ov, B, L, Emax, EOV, chunk):
+    """Slot-plane chain DP core.  kpl/cpl [B, Emax*L] u16 (kmer / count
+    planes; count 0 = empty slot), refk/total [B*L] i32, valid [B*L]
+    bool, s0_all [B, S], ov = (keys, cn, rk) overflow entry arrays with
+    keys already offset into the global B*L cell space (pads redirected
+    past it) or None.  Returns (P [B*L, S], msel [B*L], cov2 [B*L, S])
+    — bit-identical to _chain_entries_core on the same pileup (same
+    formulas hence same f32 values; the max/min/int-sum reductions that
+    changed shape are order-free, and ties compare identical floats)."""
+    Ltot = B * L
+    kd = kpl.astype(jnp.int32).reshape(B, Emax, L)
+    cd = cpl.astype(jnp.int32).reshape(B, Emax, L)
+    occ = cd > 0
+    tot = total.reshape(B, 1, L)
+    refq = refk.reshape(B, 1, L)
+    dec = ((tot > 1) & (kd == refq)).astype(jnp.float32)
+    tot1 = jnp.where(tot > 1, tot - 1, tot).astype(jnp.float32)
+    em = jnp.where(occ, cd.astype(jnp.float32) - dec - tot1 * rate, NEG)
+    b2 = (kd >> 3) & 7
+    b3 = kd & 7
+    # transition lattice: masked max over the slot axis (axis 1)
+    hit = occ[..., None] & ((b2 * 8 + b3)[..., None]
+                            == jnp.arange(64, dtype=jnp.int32))
+    A = jnp.max(jnp.where(hit, em[..., None], NEG), axis=1)  # [B, L, 64]
+    if ov is not None:
+        ovk, ovcn, ovrk = ov
+        e_cell = ovk // K3
+        e_kmer = ovk % K3
+        is_pad = e_cell >= Ltot
+        c_cl = jnp.minimum(e_cell, Ltot - 1)
+        tot_e = total[c_cl]
+        dec_e = ((tot_e > 1) & (e_kmer == refk[c_cl])).astype(jnp.float32)
+        tot1_e = jnp.where(tot_e > 1, tot_e - 1, tot_e).astype(jnp.float32)
+        em_e = jnp.where(is_pad, NEG,
+                         ovcn.astype(jnp.float32) - dec_e - tot1_e * rate)
+        oe_b2 = (e_kmer >> 3) & 7
+        oe_b3 = e_kmer & 7
+        segA = jnp.where(is_pad, Ltot * 64, c_cl * 64 + oe_b2 * 8 + oe_b3)
+        Ao = jnp.full((Ltot * 64 + 1,), NEG).at[segA].max(
+            em_e)[: Ltot * 64].reshape(B, L, 64)
+        A = jnp.maximum(A, Ao)
+    A = A.reshape(Ltot, S, S)
+    rowmax = jnp.max(A, axis=2)
+    A = A.at[:, :, 0].set(rowmax)
+    A = jnp.where(valid[:, None, None], A, _eye()[None])
+    f = _forward_states(A.reshape(B, L, S, S), s0_all, chunk)
+    fprev = jnp.concatenate([s0_all[:, None, :], f[:, :-1]],
+                            axis=1)  # [B, L, S]
+    # per-slot chain scores: fprev picked by b2 via exact one-hot sums
+    # (one nonzero term per slot, so the sum IS the gathered value)
+    oh2 = (b2[..., None] == jnp.arange(S, dtype=jnp.int32))
+    fg = jnp.sum(jnp.where(oh2, fprev[:, None, :, :], 0.0), axis=3)
+    sc = jnp.where(occ, fg + em, NEG)  # [B, Emax, L]
+    oh3 = occ[..., None] & (b3[..., None] == jnp.arange(S, dtype=jnp.int32))
+    V = jnp.max(jnp.where(oh3, sc[..., None], NEG), axis=1)  # [B, L, S]
+    # the entry-space path's segment max initializes at NEG, silently
+    # flooring scores whose predecessor states collapsed (possible only
+    # on inputs without the contig-as-read chain invariant); replicate
+    # the floor so both kernels stay bit-identical on any input
+    V = jnp.maximum(V, NEG)
+    obs2 = jnp.any(oh3, axis=1)
+    cov2 = jnp.sum(jnp.where(oh3, cd[..., None], 0), axis=1)
+    slot = jnp.arange(Emax, dtype=jnp.int32)[None, :, None, None]
+    # slot index IS the per-cell first-observation rank in the planes
+    Rm = jnp.min(jnp.where(oh3, slot, RANK_BIG), axis=1)
+    if ov is not None:
+        seg3 = jnp.where(is_pad, Ltot * 8, c_cl * 8 + oe_b3)
+        fprev_f = fprev.reshape(Ltot, S)
+        fg_o = jnp.sum(jnp.where(
+            oe_b2[:, None] == jnp.arange(S, dtype=jnp.int32),
+            fprev_f[c_cl], 0.0), axis=1)
+        sc_o = jnp.where(is_pad, NEG, fg_o + em_e)
+        Vo = jnp.full((Ltot * 8 + 1,), NEG).at[seg3].max(sc_o)
+        obs_o = jnp.zeros((Ltot * 8 + 1,), jnp.int32).at[seg3].max(
+            (~is_pad).astype(jnp.int32))
+        cov_o = jnp.zeros((Ltot * 8 + 1,), jnp.int32).at[seg3].add(
+            jnp.where(is_pad, 0, ovcn.astype(jnp.int32)))
+        Rm_o = jnp.full((Ltot * 8 + 1,), RANK_BIG).at[seg3].min(
+            jnp.where(is_pad, RANK_BIG, ovrk.astype(jnp.int32)))
+        V = jnp.maximum(V, Vo[: Ltot * 8].reshape(B, L, S))
+        obs2 = obs2 | (obs_o[: Ltot * 8].reshape(B, L, S) > 0)
+        cov2 = cov2 + cov_o[: Ltot * 8].reshape(B, L, S)
+        Rm = jnp.minimum(Rm, Rm_o[: Ltot * 8].reshape(B, L, S))
+    # winners per (cell, suffix) against the MERGED V, exact min-rank
+    # tie rule (base_add_score / base_max_score, lib/base.c:159-197)
+    Vg = jnp.sum(jnp.where(oh3, V[:, None, :, :], 0.0), axis=3)
+    wkey = jnp.where((sc == Vg)[..., None] & oh3,
+                     slot * 8 + b2[..., None], RANK_BIG)
+    Wk = jnp.min(wkey, axis=1)  # [B, L, S]
+    if ov is not None:
+        Vm_o = jnp.maximum(Vo, jnp.concatenate(
+            [V.reshape(Ltot * 8), jnp.full(1, NEG)]))
+        elig_o = (~is_pad) & (sc_o == Vm_o[seg3])
+        wkey_o = jnp.where(elig_o, ovrk.astype(jnp.int32) * 8 + oe_b2,
+                           RANK_BIG)
+        Wko = jnp.full((Ltot * 8 + 1,), RANK_BIG).at[seg3].min(wkey_o)
+        Wk = jnp.minimum(Wk, Wko[: Ltot * 8].reshape(B, L, S))
+    V2 = V.reshape(Ltot, S)
+    obs2 = obs2.reshape(Ltot, S)
+    wb2 = jnp.where(obs2, Wk.reshape(Ltot, S) & 7, 0)
+    Rm2 = Rm.reshape(Ltot, S)
+    Vmax = jnp.max(jnp.where(obs2, V2, NEG), axis=1)
+    cand = (V2 == Vmax[:, None]) & obs2
+    msel = jnp.argmin(jnp.where(cand, Rm2, RANK_BIG),
+                      axis=1).astype(jnp.int32)
+    msel_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         msel.reshape(B, L)[:, :-1]], axis=1).reshape(Ltot)
+    P = jnp.where(wb2 != 0, wb2.astype(jnp.int32), msel_prev[:, None])
+    P = jnp.where(valid[:, None], P, jnp.arange(S, dtype=jnp.int32)[None])
+    return P, msel, cov2.reshape(Ltot, S)
+
+
+def _planes_decode(b32, B, L, Emax, EOV, TH):
+    """Shared buffer decode for the planes kernels; b32 [B, buflen].
+    Dense slots carry kmer<<7 | count in one u16 word; plane 0's kmer
+    lane doubles as the refkmer row."""
+    kcpl = b32[:, : Emax * L]
+    kpl = kcpl >> 7
+    cpl = kcpl & CNT_CAP
+    refk = kpl[:, :L].reshape(B * L)
+    o = Emax * L
+    total = b32[:, o: o + L].reshape(B * L)
+    o += L
+    ov = None
+    if EOV:
+        ovk = (b32[:, o: o + EOV]
+               | (b32[:, o + EOV: o + 2 * EOV] << 16))
+        ovcn = b32[:, o + 2 * EOV: o + 3 * EOV]
+        ovrk = b32[:, o + 3 * EOV: o + 4 * EOV]
+        o += 4 * EOV
+        ov = (ovk, ovcn, ovrk)
+    s0mask = b32[:, o]
+    rate = jax.lax.bitcast_convert_type(
+        (b32[0, o + 1] | (b32[0, o + 2] << 16)).astype(jnp.int32),
+        jnp.float32)
+    n_dp = b32[:, o + 3] | (b32[:, o + 4] << 16)
+    nov = b32[:, o + 5] | (b32[:, o + 6] << 16)
+    th = (b32[0, o + 7:o + 7 + 2 * TH:2]
+          | (b32[0, o + 8:o + 8 + 2 * TH:2] << 16))
+    return kpl, cpl, refk, total, ov, s0mask, rate, n_dp, nov, th
+
+
+@partial(jax.jit, static_argnames=("L", "Emax", "EOV", "TH", "chunk"))
+def chain_correct_planes_batch(bufs, L, Emax, EOV, TH, chunk=CHUNK):
+    """Batched slot-plane chain DP: bufs [B, buflen] u16, one contig per
+    row (same L/Emax/EOV/TH bucket; see chain_correct_packed_batch for
+    the boundary-exactness mechanism — per-row scan axis, per-row s0 and
+    traceback).  Returns packed [B, L] int8 result bytes."""
+    b32 = bufs.astype(jnp.int32)
+    B = b32.shape[0]
+    kpl, cpl, refk, total, ov, s0mask, rate, n_dp, nov, th = _planes_decode(
+        b32, B, L, Emax, EOV, TH)
+    valid = (jnp.arange(L)[None, :] < n_dp[:, None]).reshape(B * L)
+    s0_all = jnp.where((s0mask[:, None] >> jnp.arange(S)[None, :]) & 1 != 0,
+                       jnp.float32(0.0), NEG)
+    ovt = None
+    if EOV:
+        # flatten rows into one global entry list: each row's keys shift
+        # by its cell-space offset and per-row pad lanes redirect past
+        # Ltot*K3 (the core derives is_pad from that)
+        ovk, ovcn, ovrk = ov
+        lanes = jnp.arange(EOV)[None, :]
+        trash = B * L * K3
+        ovk_g = jnp.where(lanes < nov[:, None],
+                          ovk + (jnp.arange(B) * (L * K3))[:, None], trash)
+        ovt = (ovk_g.ravel(), ovcn.ravel(), ovrk.ravel())
+    P, msel, cov2 = _chain_planes_core(
+        kpl, cpl, refk, total, valid, rate, s0_all, ovt, B, L, Emax, EOV,
+        chunk)
+    starts = jnp.arange(B, dtype=jnp.int32) * L
+    lastidx = starts + jnp.maximum(n_dp - 1, 0)
+    b_ends = msel[lastidx]
+    choice = _traceback_batch(P.reshape(B, L, S), b_ends,
+                              chunk).reshape(B * L)
+    ohc = (choice.astype(jnp.int32)[:, None]
+           == jnp.arange(S, dtype=jnp.int32))
+    cov = jnp.sum(jnp.where(ohc, cov2, 0), axis=1)
+    zero = (total == 1).astype(jnp.int8) << FLAGB_ZERO
+    low = (cov < th[jnp.minimum(total, TH - 1)]).astype(jnp.int8) << FLAGB_COV
+    return (choice | zero | low).reshape(B, L)
+
+
+def chain_correct_planes(buf, L, Emax, EOV, TH, chunk=CHUNK):
+    """Single-contig slot-plane chain DP (one row of the batch kernel)."""
+    return chain_correct_planes_batch(buf[None], L, Emax, EOV, TH,
+                                      chunk=chunk)[0]
+
+
 def pad_to_chunk(n: int, chunk: int = CHUNK) -> int:
     """Round up to a power-of-two number of chunks so jit shapes are drawn
     from a small bucket set (bounds recompilation across regions)."""
@@ -547,17 +836,28 @@ def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
     `device` pins the launch (contig-level device parallelism: the
     pipeline round-robins contigs over jax.devices(), the TPU analog of
     blc_genome's contig blocks, source/nextPolish:93-117)."""
-    buf, L, E, TH = pack_chain_sparse(uk_in, cn_in, rk_in, refkmer, total,
-                                      n_dp, rate, cov_ratio, chunk)
+    import os
+
+    from ..runtime import trace
+
+    trace.count("task1.chain_cells", pad_to_chunk(max(n_dp, 1), chunk))
+    trace.count("task1.chain_launches", 1)
+    if os.environ.get("NPT_CHAIN_IMPL") == "entries":
+        buf, L, E, TH = pack_chain_sparse(uk_in, cn_in, rk_in, refkmer,
+                                          total, n_dp, rate, cov_ratio,
+                                          chunk)
+        if device is not None:
+            import jax
+
+            buf = jax.device_put(buf, device)
+        return chain_correct_packed(buf, L, E, TH, chunk=chunk)
+    buf, L, Emax, EOV, TH = pack_chain_planes(
+        uk_in, cn_in, rk_in, refkmer, total, n_dp, rate, cov_ratio, chunk)
     if device is not None:
         import jax
 
         buf = jax.device_put(buf, device)
-    from ..runtime import trace
-
-    trace.count("task1.chain_cells", L)
-    trace.count("task1.chain_launches", 1)
-    return chain_correct_packed(buf, L, E, TH, chunk=chunk)
+    return chain_correct_planes(buf, L, Emax, EOV, TH, chunk=chunk)
 
 
 def pack_chain_sparse(uk_in, cn_in, rk_in, refkmer, total, n_dp, rate,

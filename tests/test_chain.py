@@ -113,3 +113,90 @@ def test_repeat_read_gets_low_mapq():
     assert recs[0] is not None and recs[1] is not None
     assert recs[0]["mapq"] <= 5
     assert recs[1]["mapq"] >= 30
+
+
+def _random_sparse_case(rng, n_dp, per, K3=512, heavy_cells=0):
+    """Sorted sparse pileup entries; `heavy_cells` cells get ~20 distinct
+    kmers to force the slot-plane overflow path."""
+    from nextpolish_tpu.ops import tropical as tr
+
+    cells = np.repeat(np.arange(n_dp, dtype=np.int64), per)
+    kmers = rng.integers(0, K3, per * n_dp)
+    if heavy_cells:
+        hv = rng.choice(n_dp, heavy_cells, replace=False)
+        cells = np.concatenate([cells, np.repeat(hv, 24)])
+        kmers = np.concatenate([kmers, rng.integers(0, K3,
+                                                    24 * heavy_cells)])
+    uk = np.unique(cells * K3 + kmers)
+    cn = rng.integers(1, 50, len(uk)).astype(np.int64)
+    rk = tr._index_order_ranks(uk)
+    refkmer = (uk[np.searchsorted(uk, np.arange(n_dp) * K3)]
+               % K3).astype(np.int32)
+    total = rng.integers(2, 90, n_dp).astype(np.int32)
+    return uk, cn, rk, refkmer, total
+
+
+def test_planes_matches_entries():
+    """The slot-plane kernel (production) must byte-match the entry-space
+    kernel, with and without per-cell overflow (> Emax distinct kmers)."""
+    from nextpolish_tpu.ops import tropical as tr
+
+    rng = np.random.default_rng(11)
+    seen_eov = set()
+    for heavy, bigcnt, per in ((0, False, 2), (0, False, 4),
+                               (40, False, 4), (0, True, 2)):
+        uk, cn, rk, refkmer, total = _random_sparse_case(
+            rng, 1500, per, heavy_cells=heavy)
+        if bigcnt:  # counts past CNT_CAP must divert to overflow exactly
+            cn[rng.choice(len(cn), 60, replace=False)] += 500
+            total = total + 600
+        n_dp = 1500
+        bufE, L, E, TH = tr.pack_chain_sparse(uk, cn, rk, refkmer, total,
+                                              n_dp, 0.5)
+        want = np.asarray(tr.chain_correct_packed(bufE, L, E, TH))[:n_dp]
+        bufP, Lp, Emax, EOV, THp = tr.pack_chain_planes(
+            uk, cn, rk, refkmer, total, n_dp, 0.5)
+        assert (Lp, THp) == (L, TH)
+        seen_eov.add(EOV > 0)
+        got = np.asarray(tr.chain_correct_planes(bufP, Lp, Emax, EOV,
+                                                 THp))[:n_dp]
+        np.testing.assert_array_equal(got, want)
+    assert seen_eov == {False, True}, "need both EOV=0 and EOV>0 cases"
+
+
+def test_planes_batch_matches_singles():
+    """Batched slot-plane rows must byte-match per-contig launches
+    (incl. rows with overflow entries)."""
+    from nextpolish_tpu.ops import tropical as tr
+
+    rng = np.random.default_rng(12)
+    cases, bufs, singles = [], [], []
+    for b in range(4):
+        uk, cn, rk, refkmer, total = _random_sparse_case(
+            rng, 1100 - 8 * b, 4, heavy_cells=10 if b >= 2 else 0)
+        total[0] = 97  # unify the TH bucket across rows
+        cases.append((uk, cn, rk, refkmer, total, 1100 - 8 * b))
+    for uk, cn, rk, refkmer, total, n_dp in cases:
+        buf, L, Emax, EOV, TH = tr.pack_chain_planes(
+            uk, cn, rk, refkmer, total, n_dp, 0.5)
+        singles.append(np.asarray(tr.chain_correct_planes(
+            buf, L, Emax, EOV, TH))[:n_dp])
+        bufs.append((buf, (L, Emax, EOV, TH)))
+    # rows in a real batch share one shape bucket (the pipeline stages
+    # by key): batch the no-overflow pair and the overflow pair
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, (buf, key) in enumerate(bufs):
+        groups[key].append(i)
+    batched_groups = 0
+    for key, idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        batched_groups += 1
+        batch = np.asarray(tr.chain_correct_planes_batch(
+            np.stack([bufs[i][0] for i in idxs]), *key))
+        for row, i in enumerate(idxs):
+            want = singles[i]
+            np.testing.assert_array_equal(batch[row][: len(want)], want)
+    assert batched_groups == 2, "expected a plain and an overflow batch"
