@@ -202,7 +202,7 @@ class _ChainHandle:
         self.cfg = cfg
         self.draft = draft
         self.buf = buf
-        self.key = key  # jit shape bucket: ("planes", L, Emax, EOV, TH)
+        self.key = key  # jit shape bucket: ("planes", L, Emax, EOV, ET, FMT, TH)
         #               or ("entries", L, E, TH)
         self.dev = None  # device result (set at dispatch)
         self.lane = None  # row in a batched launch
@@ -221,8 +221,13 @@ def score_chain_contig_prep(name: str, draft: bytes, batch: AlnBatch,
     and lanes ride the scan nearly free; see
     tropical.chain_correct_planes_batch)."""
     import os as _os
+    from types import SimpleNamespace
 
-    from ..ops.tropical import pack_chain_planes, pack_chain_sparse
+    from ..ops.tropical import (
+        pack_chain_planes,
+        pack_chain_planes_parts,
+        pack_chain_sparse,
+    )
 
     tid = batch.header.name2id(name)
     L = len(draft)
@@ -233,20 +238,36 @@ def score_chain_contig_prep(name: str, draft: bytes, batch: AlnBatch,
     contig_nib = ASCII_TO_NIB[np.frombuffer(draft, dtype=np.uint8)]
     view = state.index.region_view(0, L - 1)
     cell0 = int(state.index.cell_of[0 - state.index.start])
+    impl = _os.environ.get("NPT_CHAIN_IMPL", "")
+    if impl not in ("entries", "pyplanes"):
+        # hot path: the native slot walker emits the transfer planes
+        # directly (byte-equal to the fallback below by test)
+        fast = pl.build_pileup_planes(batch, levels, 1, view, tid,
+                                      contig_nib, cfg.trim_len_edge)
+        if fast is not None:
+            upper, c0, totals, stats, ov, refkmer = fast
+            buf, Lp, Emax, EOV, ET, FMT, TH = pack_chain_planes_parts(
+                upper, c0, totals, stats, ov, refkmer, view.n_cells_dp,
+                cfg.indel_balance_factor_sgs,
+                cov_ratio=cfg.min_count_ratio_skip)
+            key = ("planes", Lp, Emax, EOV, ET, FMT, TH)
+            p = SimpleNamespace(index=view)
+            return _ChainHandle(name, state, p, cell0, cfg, draft, buf,
+                                key)
     p = pl.build_pileup_sparse(batch, levels, 1, view, tid, contig_nib,
                                cfg.trim_len_edge)
-    if _os.environ.get("NPT_CHAIN_IMPL") == "entries":
+    if impl == "entries":
         buf, Lp, E, TH = pack_chain_sparse(
             p.uk, p.cn, p.rk, p.refkmer, p.total, p.index.n_cells_dp,
             cfg.indel_balance_factor_sgs,
             cov_ratio=cfg.min_count_ratio_skip)
         key = ("entries", Lp, E, TH)
     else:
-        buf, Lp, Emax, EOV, TH = pack_chain_planes(
+        buf, Lp, Emax, EOV, ET, FMT, TH = pack_chain_planes(
             p.uk, p.cn, p.rk, p.refkmer, p.total, p.index.n_cells_dp,
             cfg.indel_balance_factor_sgs,
             cov_ratio=cfg.min_count_ratio_skip)
-        key = ("planes", Lp, Emax, EOV, TH)
+        key = ("planes", Lp, Emax, EOV, ET, FMT, TH)
     return _ChainHandle(name, state, p, cell0, cfg, draft, buf, key)
 
 

@@ -48,6 +48,8 @@ def _load():
         lib.npt_poa_consensus.restype = ctypes.c_longlong
     if hasattr(lib, "npt_pileup_sgs"):
         lib.npt_pileup_sgs.restype = ctypes.c_longlong
+    if hasattr(lib, "npt_pileup_planes"):
+        lib.npt_pileup_planes.restype = ctypes.c_longlong
     if hasattr(lib, "npt_cns_prepare"):
         lib.npt_cns_prepare.restype = ctypes.POINTER(_NptCnsPrep)
         lib.npt_cns_prep_free.restype = None
@@ -335,6 +337,82 @@ def pileup_sgs(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
         with _PILEUP_LOCK:
             _PILEUP_POOL.append(counts)
     return uk, cn, rk.astype(np.uint16), totals
+
+
+_SLOT_POOL: list = []
+
+
+def pileup_planes(ridx, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,
+                  lqseq, start: int, end: int, cell_of, ins_len,
+                  n_cells: int, n_dp: int, refkmer, trim_len_edge: int,
+                  max_span: int = 1 << 40, n_threads: int = 0):
+    """Slot-walker pileup emitting the chain-DP plane format directly
+    (pileup.cpp npt_pileup_planes): per-cell 8-slot cache lines instead
+    of the dense [cells*512] table, slot index == insertion rank, no
+    dirty-list sort.  Returns (upper [7, n_dp] u16 planes, c0 [n_dp] u8,
+    totals [n_cells] i32, stats [16] i32, (ov_key, ov_cn, ov_rk)) or
+    None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "npt_pileup_planes"):
+        return None
+
+    def c64(a):
+        return np.ascontiguousarray(a, dtype=np.int64)
+
+    ridx = c64(ridx)
+    cell_of = c64(cell_of)
+    ins_len = c64(ins_len)
+    rpos = np.ascontiguousarray(rpos, dtype=np.int32)
+    cigar = np.ascontiguousarray(cigar, dtype=np.uint32)
+    cigar_off = c64(cigar_off)
+    cigar_len = np.ascontiguousarray(cigar_len, dtype=np.int32)
+    seq_nib = np.ascontiguousarray(seq_nib, dtype=np.uint8)
+    seq_off = c64(seq_off)
+    lqseq = np.ascontiguousarray(lqseq, dtype=np.int32)
+    refkmer = np.ascontiguousarray(refkmer, dtype=np.int32)
+    with _PILEUP_LOCK:
+        slots = _SLOT_POOL.pop() if _SLOT_POOL else None
+    if slots is None or len(slots) < n_cells * 8:
+        slots = np.zeros(n_cells * 8, dtype=np.uint32)
+    totals = np.zeros(n_cells, dtype=np.int32)
+    upper = np.zeros(7 * n_dp, dtype=np.uint16)
+    c0 = np.zeros(n_dp, dtype=np.uint8)
+    stats = np.zeros(16, dtype=np.int32)
+    out_k = ctypes.POINTER(ctypes.c_int64)()
+    out_c = ctypes.POINTER(ctypes.c_int64)()
+    out_r = ctypes.POINTER(ctypes.c_int64)()
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    nov = lib.npt_pileup_planes(
+        p(ridx), ctypes.c_longlong(len(ridx)), p(rpos), p(cigar),
+        p(cigar_off), p(cigar_len), p(seq_nib), p(seq_off), p(lqseq),
+        ctypes.c_longlong(start), ctypes.c_longlong(end), p(cell_of),
+        p(ins_len), ctypes.c_longlong(n_cells), ctypes.c_longlong(n_dp),
+        p(refkmer), ctypes.c_int(trim_len_edge),
+        ctypes.c_longlong(max_span), ctypes.c_int(n_threads), p(slots),
+        p(totals), p(upper), p(c0), p(stats),
+        ctypes.byref(out_k), ctypes.byref(out_c), ctypes.byref(out_r),
+    )
+    if nov < 0:
+        with _PILEUP_LOCK:
+            _SLOT_POOL.append(slots)
+        return None
+    try:
+        ovk = np.ctypeslib.as_array(out_k, shape=(nov,)).copy() if nov \
+            else np.empty(0, np.int64)
+        ovc = np.ctypeslib.as_array(out_c, shape=(nov,)).copy() if nov \
+            else np.empty(0, np.int64)
+        ovr = np.ctypeslib.as_array(out_r, shape=(nov,)).copy() if nov \
+            else np.empty(0, np.int64)
+    finally:
+        for ptr in (out_k, out_c, out_r):
+            if ptr:
+                lib.npt_cns_free(ptr)
+        with _PILEUP_LOCK:
+            _SLOT_POOL.append(slots)
+    return upper.reshape(7, n_dp), c0, totals, stats, (ovk, ovc, ovr)
 
 
 def cns_tags(sel, rpos, cigar, cigar_off, cigar_len, seq_nib, seq_off,

@@ -7,11 +7,31 @@
 // host DP.  Both numpy implementations stay as the oracle this pass is
 // tested against (tests/test_cns_native.py).
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
+
+// NPT_PREP_PROF=1 prints per-phase wall times to stderr (perf triage on
+// the host-bound device path; see docs/ROADMAP.md engine-2 item)
+namespace {
+struct PhaseProf {
+  bool on;
+  std::chrono::steady_clock::time_point t0;
+  PhaseProf() : on(getenv("NPT_PREP_PROF") != nullptr) { reset(); }
+  void reset() { t0 = std::chrono::steady_clock::now(); }
+  void lap(const char* name) {
+    if (!on) return;
+    auto t1 = std::chrono::steady_clock::now();
+    fprintf(stderr, "npt_cns_prepare %-12s %7.2f ms\n", name,
+            std::chrono::duration<double, std::milli>(t1 - t0).count());
+    t0 = t1;
+  }
+};
+}  // namespace
 
 namespace {
 
@@ -32,6 +52,7 @@ struct Entry {
     int64_t pp, ppp;
     int64_t ins;  // first-occurrence column index (SeqList insertion order)
     int32_t link;
+    int32_t rank;  // EdgeTable (pp, ppp)-sort position, cached by pass 1
 };
 
 struct Cell {
@@ -93,6 +114,7 @@ NptCnsPrep* npt_cns_prepare(
     const int64_t* row_off, int64_t n_rows, const int32_t* coverage,
     int64_t length, int max_e, int max_vb) {
     if (length <= 0 || n_rows <= 0) return nullptr;
+    PhaseProf prof;
     Msa msa(length);
 
     // ---- update_msa with first-occurrence order ----
@@ -142,13 +164,22 @@ NptCnsPrep* npt_cns_prepare(
         }
     }
 
-    // ---- enumerate tags in key order; count sizes ----
+    prof.lap("update_msa");
+    // ---- enumerate tags in key order; count sizes + per-position
+    // prefixes (the prefixes let passes 1/2 run position-parallel with
+    // every output landing at its exact serial-order offset) ----
     int64_t n_tags = 0, n_entries = 0, n_levels = 0;
     int E = 1;
+    std::vector<int64_t> tag_pre((size_t)length + 1, 0);
+    std::vector<int64_t> ent_pre((size_t)length + 1, 0);
+    std::vector<int64_t> lvl_pre((size_t)length + 1, 0);
     for (int64_t p = 0; p < length; p++) {
         auto& cells = msa.pos[(size_t)p];
         const int64_t nc = (int64_t)cells.size();
         int64_t last_d = -1;
+        tag_pre[(size_t)p] = n_tags;
+        ent_pre[(size_t)p] = n_entries;
+        lvl_pre[(size_t)p] = n_levels;
         for (int64_t d = 0; d * 6 < nc; d++) {
             for (int64_t b = 0; b < 6 && d * 6 + b < nc; b++) {
                 Cell& c = cells[(size_t)(d * 6 + b)];
@@ -160,7 +191,11 @@ NptCnsPrep* npt_cns_prepare(
             }
         }
     }
+    tag_pre[(size_t)length] = n_tags;
+    ent_pre[(size_t)length] = n_entries;
+    lvl_pre[(size_t)length] = n_levels;
     if (!n_tags) return nullptr;
+    prof.lap("count");
 
     NptCnsPrep* out = (NptCnsPrep*)calloc(1, sizeof(NptCnsPrep));
     if (!out) return nullptr;
@@ -180,65 +215,90 @@ NptCnsPrep* npt_cns_prepare(
     }
 
     // level bookkeeping (needed for the dense block and the score guard)
-    std::vector<int32_t> lvl_pos;  // position per level
-    std::vector<int32_t> lvl_d;    // delta per level
+    std::vector<int32_t> lvl_pos((size_t)n_levels);
+    std::vector<int32_t> lvl_d((size_t)n_levels);
     std::vector<uint8_t> lvl_ref;  // referenced by a next-position d0 pp
-    std::vector<int64_t> lvl_maxlink;
-    lvl_pos.reserve((size_t)n_levels);
-    lvl_d.reserve((size_t)n_levels);
-    lvl_maxlink.reserve((size_t)n_levels);
+    std::vector<int64_t> lvl_maxlink((size_t)n_levels, 0);
     // level index by key for vslot/pp lookups: per position, map d -> level
     // (store level of (p, d) in a per-position small vector)
     std::vector<std::vector<int32_t>> lvl_of(length);
 
     // ---- pass 1: EdgeTable emission + level enumeration ----
-    int64_t ei = 0, ti = 0;
-    std::vector<int> order;  // sort scratch for one cell's entries
-    for (int64_t p = 0; p < length; p++) {
-        auto& cells = msa.pos[(size_t)p];
-        const int64_t nc = (int64_t)cells.size();
-        int64_t last_d = -1;
-        for (int64_t d = 0; d * 6 < nc; d++) {
-            for (int64_t b = 0; b < 6 && d * 6 + b < nc; b++) {
-                Cell& c = cells[(size_t)(d * 6 + b)];
-                if (c.e.empty()) continue;
-                if (d != last_d) {
-                    last_d = d;
-                    if ((size_t)p >= lvl_of.size()) lvl_of.resize(p + 1);
-                    while ((int64_t)lvl_of[(size_t)p].size() <= d)
-                        lvl_of[(size_t)p].push_back(-1);
-                    lvl_of[(size_t)p][(size_t)d] = (int32_t)lvl_pos.size();
-                    lvl_pos.push_back((int32_t)p);
-                    lvl_d.push_back((int32_t)d);
-                    lvl_maxlink.push_back(0);
-                }
-                const int64_t key = pack_key(p, d, b);
-                out->tag_key[ti] = key;
-                out->tag_off[ti] = ei;
-                ti++;
-                // entries sorted by (pp, ppp) — EdgeTable order
-                const int k = (int)c.e.size();
-                order.resize(k);
-                for (int j = 0; j < k; j++) order[j] = j;
-                std::sort(order.begin(), order.end(), [&](int x, int y) {
-                    if (c.e[x].pp != c.e[y].pp) return c.e[x].pp < c.e[y].pp;
-                    return c.e[x].ppp < c.e[y].ppp;
-                });
-                int64_t& ml = lvl_maxlink.back();
-                for (int j = 0; j < k; j++) {
-                    const Entry& e = c.e[(size_t)order[j]];
-                    out->cur[ei] = key;
-                    out->pp[ei] = e.pp;
-                    out->ppp[ei] = e.ppp;
-                    out->ins[ei] = e.ins;
-                    out->link[ei] = e.link;
-                    if (e.link > ml) ml = e.link;
-                    ei++;
+    // Position-parallel: the count prefixes give every thread the exact
+    // serial-order output offsets for its range, so the emitted arrays
+    // are byte-identical to the serial walk.  The (pp, ppp) sort rank is
+    // cached into each Entry for pass 2.
+    auto pass1 = [&](int64_t p_lo, int64_t p_hi) {
+        int64_t ei = ent_pre[(size_t)p_lo], ti = tag_pre[(size_t)p_lo];
+        int64_t li = lvl_pre[(size_t)p_lo];
+        std::vector<int> order;  // sort scratch for one cell's entries
+        for (int64_t p = p_lo; p < p_hi; p++) {
+            auto& cells = msa.pos[(size_t)p];
+            const int64_t nc = (int64_t)cells.size();
+            int64_t last_d = -1;
+            for (int64_t d = 0; d * 6 < nc; d++) {
+                for (int64_t b = 0; b < 6 && d * 6 + b < nc; b++) {
+                    Cell& c = cells[(size_t)(d * 6 + b)];
+                    if (c.e.empty()) continue;
+                    if (d != last_d) {
+                        last_d = d;
+                        while ((int64_t)lvl_of[(size_t)p].size() <= d)
+                            lvl_of[(size_t)p].push_back(-1);
+                        lvl_of[(size_t)p][(size_t)d] = (int32_t)li;
+                        lvl_pos[(size_t)li] = (int32_t)p;
+                        lvl_d[(size_t)li] = (int32_t)d;
+                        li++;
+                    }
+                    const int64_t key = pack_key(p, d, b);
+                    out->tag_key[ti] = key;
+                    out->tag_off[ti] = ei;
+                    ti++;
+                    // entries sorted by (pp, ppp) — EdgeTable order
+                    const int k = (int)c.e.size();
+                    order.resize(k);
+                    for (int j = 0; j < k; j++) order[j] = j;
+                    std::sort(order.begin(), order.end(),
+                              [&](int x, int y) {
+                        if (c.e[x].pp != c.e[y].pp)
+                            return c.e[x].pp < c.e[y].pp;
+                        return c.e[x].ppp < c.e[y].ppp;
+                    });
+                    int64_t& ml = lvl_maxlink[(size_t)(li - 1)];
+                    for (int j = 0; j < k; j++) {
+                        Entry& e = c.e[(size_t)order[j]];
+                        e.rank = j;
+                        out->cur[ei] = key;
+                        out->pp[ei] = e.pp;
+                        out->ppp[ei] = e.ppp;
+                        out->ins[ei] = e.ins;
+                        out->link[ei] = e.link;
+                        if (e.link > ml) ml = e.link;
+                        ei++;
+                    }
                 }
             }
         }
+    };
+    {
+        int T = (int)std::thread::hardware_concurrency();
+        if (T < 1) T = 1;
+        if (T > 4) T = 4;
+        if (n_entries < 20000) T = 1;
+        if (T == 1) {
+            pass1(0, length);
+        } else {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < T; t++) {
+                const int64_t lo = length * t / T;
+                const int64_t hi = length * (t + 1) / T;
+                if (t == T - 1) pass1(lo, hi);
+                else ths.emplace_back(pass1, lo, hi);
+            }
+            for (auto& th : ths) th.join();
+        }
     }
     out->tag_off[n_tags] = n_entries;
+    prof.lap("pass1_edges");
     const int64_t Lt = (int64_t)lvl_pos.size();
     out->n_levels = Lt;
 
@@ -295,6 +355,7 @@ NptCnsPrep* npt_cns_prepare(
                 if (vslot[(size_t)l] + 1 > Vb) Vb = vslot[(size_t)l] + 1;
         }
     }
+    prof.lap("vslot");
     out->E = E;
     out->Vb = Vb;
     out->dense_ok = dense ? 1 : 0;
@@ -326,10 +387,12 @@ NptCnsPrep* npt_cns_prepare(
 
     // per-entry dense fields: walk tags again; insertion order within a
     // cell is the Msa entry order, and the EdgeTable rank of insertion
-    // slot s is its position in the (pp, ppp) sort
-    int64_t di = 0;
-    std::vector<int> rank;  // rank[j] = EdgeTable offset of insertion slot j
-    for (int64_t p = 0, t = 0; p < length; p++) {
+    // slot s is its (pp, ppp)-sort position, cached by pass 1.
+    // Position-parallel via the same count prefixes (reads of lvl_of /
+    // vslot / other cells' entries are all read-only here).
+    auto pass2 = [&](int64_t p_lo, int64_t p_hi) {
+    int64_t di = ent_pre[(size_t)p_lo];
+    for (int64_t p = p_lo, t = tag_pre[(size_t)p_lo]; p < p_hi; p++) {
         auto& cells = msa.pos[(size_t)p];
         const int64_t nc = (int64_t)cells.size();
         for (int64_t d = 0; d * 6 < nc; d++) {
@@ -341,14 +404,6 @@ NptCnsPrep* npt_cns_prepare(
                 if (c.e.empty()) continue;
                 const int k = (int)c.e.size();
                 const int64_t base = out->tag_off[t];
-                order.resize(k);
-                rank.resize(k);
-                for (int j = 0; j < k; j++) order[j] = j;
-                std::sort(order.begin(), order.end(), [&](int x, int y) {
-                    if (c.e[x].pp != c.e[y].pp) return c.e[x].pp < c.e[y].pp;
-                    return c.e[x].ppp < c.e[y].ppp;
-                });
-                for (int j = 0; j < k; j++) rank[order[j]] = j;
                 const bool is_d0 = d == 0;
                 for (int s = 0; s < k; s++) {  // insertion slot order
                     const Entry& m = c.e[(size_t)s];
@@ -405,13 +460,33 @@ NptCnsPrep* npt_cns_prepare(
                                      (pp_idx << 8) | flags;
                     out->ent_M[di] = mbits;
                     out->ent_same[di] = (!is_d0 && !head) ? 1 : 0;
-                    out->eorder[di] = base + rank[(size_t)s];
+                    out->eorder[di] = base + m.rank;
                     di++;
                 }
                 t++;
             }
         }
     }
+    };
+    {
+        int T = (int)std::thread::hardware_concurrency();
+        if (T < 1) T = 1;
+        if (T > 4) T = 4;
+        if (n_entries < 20000) T = 1;
+        if (T == 1) {
+            pass2(0, length);
+        } else {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < T; t++) {
+                const int64_t lo = length * t / T;
+                const int64_t hi = length * (t + 1) / T;
+                if (t == T - 1) pass2(lo, hi);
+                else ths.emplace_back(pass2, lo, hi);
+            }
+            for (auto& th : ths) th.join();
+        }
+    }
+    prof.lap("pass2_dense");
     return out;
 }
 

@@ -22,10 +22,13 @@
 // contiguous cell range per read.
 
 #include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <thread>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -80,7 +83,8 @@ struct WalkArgs {
 
 // Walk reads [s_lo, s_hi) of ridx, recording only cells in [acc.lo, acc.hi)
 // anchored at positions <= pos_hi (the per-thread early-exit bound).
-void walk(const WalkArgs &a, Acc &acc, long long s_lo, long long s_hi,
+template <class A>
+void walk(const WalkArgs &a, A &acc, long long s_lo, long long s_hi,
           long long pos_hi) {
   const long long start = a.start, end = a.end;
   for (long long s = s_lo; s < s_hi; s++) {
@@ -199,6 +203,45 @@ void walk(const WalkArgs &a, Acc &acc, long long s_lo, long long s_hi,
     }
   }
 }
+
+// Slot-line accumulator for the plane-format pack (pack_chain_planes
+// semantics, ops/tropical.py): per cell one 32-byte line of up to 8
+// u32 slots (kmer<<16 | count, saturating u16), filled in
+// first-observation order — the slot index IS the insertion rank, so
+// the walk emits the transfer planes directly with no dense [cells*512]
+// table, no dirty-list sort, and an L1-resident working set.  Distinct
+// kmers beyond 8 spill to a small per-thread hash (rare).
+struct SlotAcc {
+  uint32_t *slots;  // [n_cells * 8], caller-zeroed
+  int32_t *totals;
+  long long lo, hi;  // owned cell range
+  std::unordered_map<int64_t, std::pair<int32_t, int32_t>> sp;  // key ->
+                                                                // (cnt, rank)
+  std::unordered_map<int64_t, int32_t> spn;  // cell -> spill count
+  inline void add(long long cell, int kmer) {
+    if (cell < lo || cell >= hi) return;
+    totals[cell]++;
+    uint32_t *s = slots + cell * 8;
+    const uint32_t tag = (uint32_t)kmer << 16;
+    for (int j = 0; j < 8; j++) {
+      const uint32_t w = s[j];
+      if (w == 0) {  // first observation -> next free slot (rank j)
+        s[j] = tag | 1;
+        return;
+      }
+      if ((w & 0xFFFF0000u) == tag) {
+        if ((w & 0xFFFFu) != SAT) s[j] = w + 1;
+        return;
+      }
+    }
+    const int64_t key = cell * 512 + kmer;
+    auto it = sp.find(key);
+    if (it == sp.end())
+      sp.emplace(key, std::make_pair(1, 8 + spn[cell]++));
+    else if (it->second.first != (int32_t)SAT)
+      it->second.first++;
+  }
+};
 
 }  // namespace
 
@@ -320,6 +363,168 @@ long long npt_pileup_sgs(
   *out_cn = cn;
   *out_rk = rk;
   return nnz;
+}
+
+// Slot-walker variant emitting the chain-DP transfer planes directly
+// (pack_chain_planes layout pieces, ops/tropical.py): upper[7 * n_dp]
+// u16 rank-major planes (kmer<<7 | count; count 0 with the kmer kept
+// when the count exceeds the 7-bit cap and diverts), c0[n_dp] u8 slot-0
+// counts (0 when diverted or when slot 0's kmer mismatches refkmer),
+// totals[n_cells] i32, stats[16] = {occ_hist[0..8] of KEPT dense
+// entries per rank (8 = unused), s0mask at [9]}, and the malloc'd
+// overflow list (cap-diverted + rank>=8 spills + refkmer mismatches),
+// sorted by key with exact u16 counts and true ranks.  `slots` is a
+// caller-zeroed [n_cells * 8] u32 scratch, restored to zero on return.
+// Returns n_overflow, or -1 on bad input.
+long long npt_pileup_planes(
+    const int64_t *ridx, long long n_sel, const int32_t *rpos,
+    const uint32_t *cigar, const int64_t *cigar_off, const int32_t *cigar_len,
+    const uint8_t *seq_nib, const int64_t *seq_off, const int32_t *lqseq,
+    long long start, long long end, const int64_t *cell_of,
+    const int64_t *ins_len, long long n_cells, long long n_dp,
+    const int32_t *refkmer, int trim_len_edge, long long max_span,
+    int n_threads, uint32_t *slots, int32_t *totals, uint16_t *upper,
+    uint8_t *c0, int32_t *stats, int64_t **ov_key, int64_t **ov_cn,
+    int64_t **ov_rk) {
+  if (end < start || n_cells <= 0 || n_dp <= 0) return -1;
+  const long long width = end - start + 1;
+  int T = n_threads > 0 ? n_threads
+                        : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if ((long long)T > width) T = (int)width;
+  if (n_sel < 4096) T = 1;
+
+  WalkArgs wa{ridx,    n_sel,   rpos,    cigar, cigar_off, cigar_len,
+              seq_nib, seq_off, lqseq,   start, end,       cell_of,
+              ins_len, n_dp,    refkmer, trim_len_edge};
+
+  std::vector<SlotAcc> accs;
+  accs.reserve(T);
+  for (int t = 0; t < T; t++) {
+    const long long ps = start + width * t / T;
+    const long long pe = start + width * (t + 1) / T - 1;
+    const long long clo = cell_of[ps - start];
+    const long long chi = (pe == end) ? n_cells : cell_of[pe + 1 - start];
+    accs.push_back(SlotAcc{slots, totals, clo, chi, {}, {}});
+  }
+  // per-thread outputs of the emission half
+  std::vector<std::vector<int64_t>> tov(T);  // key<<36 | cnt<<20 | rank
+  std::vector<std::array<int64_t, 16>> tstats(T);
+  for (auto &a : tstats) a.fill(0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; t++) {
+    const long long ps = start + width * t / T;
+    const long long pe = start + width * (t + 1) / T - 1;
+    SlotAcc *acc = &accs[t];
+    auto *ovp = &tov[t];
+    auto *stp = &tstats[t];
+    auto job = [&wa, acc, ovp, stp, ps, pe, rpos, ridx, n_sel, max_span,
+                n_dp, upper, c0, slots]() {
+      // contig-as-read first (lib/contig.c:373-383): rank 0 everywhere
+      if (wa.refkmer) {
+        const long long dlo = std::max(acc->lo, 0LL);
+        const long long dhi = std::min(acc->hi, n_dp);
+        for (long long c = dlo; c < dhi; c++)
+          acc->add(c, wa.refkmer[c] & 0x1FF);
+      }
+      const long long plo = ps - max_span;
+      long long s_lo = 0, s_hi = n_sel;
+      {
+        long long a = 0, b = n_sel;
+        while (a < b) {
+          const long long m = (a + b) / 2;
+          if (rpos[ridx[m]] < plo) a = m + 1; else b = m;
+        }
+        s_lo = a;
+        a = s_lo; b = n_sel;
+        while (a < b) {
+          const long long m = (a + b) / 2;
+          if (rpos[ridx[m]] <= pe + 1) a = m + 1; else b = m;
+        }
+        s_hi = a;
+      }
+      walk(wa, *acc, s_lo, s_hi, pe);
+      // emission over the owned DP cells: planes + diversion + stats;
+      // restore the slot scratch to zero as we go
+      const long long dlo = std::max(acc->lo, 0LL);
+      const long long dhi = std::min(acc->hi, n_dp);
+      for (long long cell = dlo; cell < dhi; cell++) {
+        uint32_t *s = slots + cell * 8;
+        for (int j = 0; j < 8 && s[j]; j++) {
+          const uint32_t w = s[j];
+          const int kmer = (int)(w >> 16);
+          const uint32_t cnt = w & 0xFFFFu;
+          const bool mis0 =
+              j == 0 && wa.refkmer && kmer != (wa.refkmer[cell] & 0x1FF);
+          const uint32_t cap = j == 0 ? 255u : 127u;
+          if (mis0 || cnt > cap) {
+            // diverted entries leave their dense slot EMPTY (the caller
+            // hands zeroed planes), exactly like the numpy pack
+            ovp->push_back(((cell * 512 + kmer) << 28) |
+                           ((int64_t)cnt << 12) | j);
+          } else {
+            (*stp)[j]++;
+            if (j == 0) c0[cell] = (uint8_t)cnt;
+            else
+              upper[(j - 1) * n_dp + cell] =
+                  (uint16_t)((kmer << 7) | cnt);
+          }
+          if (cell == 0)
+            (*stp)[9] |= 1LL << ((kmer >> 3) & 7);
+          s[j] = 0;
+        }
+      }
+      // spills: always overflow, true ranks
+      for (auto &kv : acc->sp) {
+        const int64_t key = kv.first;
+        const long long cell = key >> 9;
+        if (cell < dlo || cell >= dhi) continue;  // non-DP cells drop
+        ovp->push_back((key << 28) | ((int64_t)kv.second.first << 12) |
+                       kv.second.second);
+        if (cell == 0) (*stp)[9] |= 1LL << (((key & 0x1FF) >> 3) & 7);
+      }
+      // zero any non-DP cells this shard touched (insert slots past
+      // n_dp and range overlap padding)
+      for (long long cell = std::max(acc->lo, n_dp); cell < acc->hi;
+           cell++) {
+        uint32_t *s = slots + cell * 8;
+        for (int j = 0; j < 8 && s[j]; j++) s[j] = 0;
+      }
+      std::sort(ovp->begin(), ovp->end());
+    };
+    if (t == T - 1) job();
+    else threads.emplace_back(job);
+  }
+  for (auto &th : threads) th.join();
+
+  long long nov = 0;
+  for (auto &v : tov) nov += (long long)v.size();
+  int64_t *ok = (int64_t *)malloc(8 * (size_t)(nov ? nov : 1));
+  int64_t *oc = (int64_t *)malloc(8 * (size_t)(nov ? nov : 1));
+  int64_t *orr = (int64_t *)malloc(8 * (size_t)(nov ? nov : 1));
+  if (!ok || !oc || !orr) {
+    free(ok); free(oc); free(orr);
+    return -1;
+  }
+  long long i = 0;
+  for (auto &v : tov)  // disjoint ascending cell ranges -> sorted concat
+    for (int64_t packed : v) {
+      ok[i] = packed >> 28;
+      oc[i] = (packed >> 12) & 0xFFFF;
+      orr[i] = packed & 0xFFF;
+      i++;
+    }
+  *ov_key = ok;
+  *ov_cn = oc;
+  *ov_rk = orr;
+  int64_t hist[16];
+  for (int j = 0; j < 16; j++) hist[j] = 0;
+  for (auto &a : tstats) {
+    for (int j = 0; j < 9; j++) hist[j] += a[j];
+    hist[9] |= a[9];
+  }
+  for (int j = 0; j < 16; j++) stats[j] = (int32_t)hist[j];
+  return nov;
 }
 
 // Insertion-slot discovery (contig_create_insert, lib/contig.c:170-245):

@@ -613,6 +613,39 @@ def _native_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
                         ref_sym, rk)
 
 
+def build_pileup_planes(batch: AlnBatch, levels: np.ndarray, level: int,
+                        index: CellIndex, tid: int,
+                        contig_nib: np.ndarray, trim_len_edge: int = 2):
+    """Task-1 hot-path pileup via the native slot walker
+    (native/pileup.cpp npt_pileup_planes): emits the chain-DP transfer
+    planes directly — no dense [cells*512] table, no dirty-list sort,
+    no numpy re-pack.  Returns (upper, c0, totals, stats, ov, refkmer)
+    for tropical.pack_chain_planes_parts, or None when the native lib
+    is unavailable (callers fall back to build_pileup_sparse +
+    pack_chain_planes, which is byte-equality-tested against this
+    path)."""
+    from .. import native
+
+    if not native.available():
+        return None
+    mask = (levels == level) & region_overlap_mask(batch, tid, index.start,
+                                                   index.end)
+    mask &= (batch.cigar_len > 0) & (batch.lqseq > 0)
+    ridx = np.flatnonzero(mask)
+    ref_sym, refkmer = ref_stream(index, contig_nib)
+    span = batch.ref_span()
+    max_span = int(span[ridx].max()) if len(ridx) else 1
+    out = native.pileup_planes(
+        ridx, batch.pos, batch.cigar, batch.cigar_off, batch.cigar_len,
+        batch.seq, batch.seq_off, batch.lqseq, index.start, index.end,
+        index.cell_of, index.ins_len, index.n_cells, index.n_cells_dp,
+        refkmer, trim_len_edge, max_span=max_span)
+    if out is None:
+        return None
+    upper, c0, totals, stats, ov = out
+    return upper, c0, totals, stats, ov, refkmer.astype(np.int32)
+
+
 def build_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
                  index: CellIndex, tid: int, contig_nib: np.ndarray,
                  trim_len_edge: int = 2) -> Pileup:

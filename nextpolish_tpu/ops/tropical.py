@@ -453,70 +453,151 @@ def chain_correct_packed_batch(bufs, L, E, TH, chunk=CHUNK):
 # ---------------------------------------------------------------------------
 
 
-CNT_CAP = 127  # dense slot count cap (7 bits of the kmer<<7|count word)
+CNT_CAP = 127    # upper-plane count cap (7 bits of the kmer<<7|count word)
+C0_CAP = 255     # slot-0 count cap (its own u8 plane)
+TOT_MARK = 255   # u8 total-plane clamp marker; true value rides the escape
 
 
 def pack_chain_planes(uk_in, cn_in, rk_in, refkmer, total, n_dp, rate,
                       cov_ratio: float = 0.8, chunk: int = CHUNK):
-    """Host packing for chain_correct_planes: ONE u16 buffer
-    [kcpl(Emax*L) | total(L) |
-     ovk_lo(EOV) | ovk_hi(EOV) | ovcn(EOV) | ovrk(EOV) |
-     s0mask, rate_lo, rate_hi, n_dp_lo, n_dp_hi, nov_lo, nov_hi |
-     th(2*TH as lo/hi pairs)].
-    Each dense slot packs kmer<<7 | count into one u16, and plane 0
-    doubles as the refkmer row (the contig-as-read emission is every DP
-    cell's first observation, so slot 0's kmer IS the draft kmer; the
-    pack verifies this and diverts any mismatching cell's slot 0).  The
-    wire is the bottleneck on tunneled rigs, so the format is as tight
-    as exactness allows: entries with rank >= Emax OR count > CNT_CAP
-    divert to the overflow list with exact u16 counts and explicit
-    ranks — a diverted entry just leaves its slot empty, which the
-    kernel treats as unobserved, so the slot-index-is-rank invariant
-    holds for whatever remains dense.  Emax is chosen per contig ({3,
-    8, 16}) to minimize buffer bytes.  Returns (buf, L, Emax, EOV, TH);
-    EOV == 0 when nothing diverts (the common case — the launch then
-    contains no scatter at all)."""
-    L = pad_to_chunk(max(n_dp, 1), chunk)
+    """Host packing for chain_correct_planes from sorted sparse entries
+    (the numpy fallback path and generic callers; the task-1 hot path
+    gets the same parts straight from the native slot walker and calls
+    pack_chain_planes_parts).  See pack_chain_planes_parts for the
+    buffer layout and diversion rules."""
+    n_dp = max(n_dp, 0)
     hi = int(np.searchsorted(uk_in, n_dp * K3))
     cells = (uk_in[:hi] // K3).astype(np.int64)
-    kmers = (uk_in[:hi] % K3).astype(np.uint16)
-    cnc = np.minimum(cn_in[:hi], 0xFFFF).astype(np.uint16)
+    kmers = (uk_in[:hi] % K3).astype(np.int64)
+    cnc = np.minimum(cn_in[:hi], 0xFFFF).astype(np.int64)
     rkc = np.asarray(rk_in[:hi], dtype=np.int64)
-    divert = (cnc > CNT_CAP) | ((rkc == 0) & (kmers != refkmer[cells]))
-    # ranks are dense per cell, so rank >= Emax counts the spill exactly;
-    # pick the Emax bucket minimizing wire bytes + a 4x overflow-byte
-    # penalty (each overflow entry also costs device scatter passes —
-    # measured: 32k entries add ~5 ms to an otherwise 2.5 ms launch)
+    refk = np.asarray(refkmer[:n_dp], dtype=np.int64)
+    is0 = rkc == 0
+    divert = ((~is0 & (cnc > CNT_CAP)) | (is0 & (cnc > C0_CAP))
+              | (is0 & (kmers != refk[cells])) | (rkc >= 8))
+    upper = np.zeros((7, max(n_dp, 1)), dtype=np.uint16)
+    c0 = np.zeros(max(n_dp, 1), dtype=np.uint8)
+    keep = ~divert
+    k0m = keep & is0
+    c0[cells[k0m]] = cnc[k0m]
+    kum = keep & ~is0
+    upper.reshape(-1)[(rkc[kum] - 1) * max(n_dp, 1) + cells[kum]] = \
+        (kmers[kum] << 7) | cnc[kum]
+    stats = np.zeros(16, dtype=np.int32)
+    if hi:
+        hcnt = np.bincount(rkc[keep], minlength=9)[:9]
+        stats[:9] = hcnt.astype(np.int32)
+        kc0 = kmers[cells == 0]
+        if len(kc0):
+            stats[9] = int(np.bitwise_or.reduce(1 << ((kc0 >> 3) & 7)))
+    ov = (cells[divert] * K3 + kmers[divert], cnc[divert], rkc[divert])
+    return pack_chain_planes_parts(upper, c0, total, stats, ov, refkmer,
+                                   n_dp, rate, cov_ratio, chunk)
+
+
+def pack_chain_planes_parts(upper, c0, totals, stats, ov, refkmer, n_dp,
+                            rate, cov_ratio: float = 0.8,
+                            chunk: int = CHUNK):
+    """Assemble the chain_correct_planes transfer buffer, ONE u16 array,
+    as tight as exactness allows (the tunnel wire is the bottleneck on
+    this rig — throughput is ~1/bytes):
+
+      [sym4(L/4)  — 4-bit draft symbols, 4 per u16 (FMT 0), or
+       refk(L)    — full u16 refkmer row (FMT 1, arbitrary refkmer)
+      | c0(L/2)   — slot-0 counts as u8 pairs (contig-as-read kmer
+                    counts; the kmer itself is the refkmer)
+      | p1..p(Emax-1) u16 planes: kmer<<7 | count
+      | tot(L/2)  — totals as u8 pairs, 255 = clamp marker
+      | tesc(4*ET)— escaped totals: cell u32 + value u32 as lo/hi pairs
+      | ovk_lo/hi, ovcn, ovrk (4*EOV) — overflow entries
+      | s0mask, rate, n_dp, nov, net (9 u16) | th(2*TH lo/hi pairs)]
+
+    FMT 0 reconstructs refkmer on device from the rolling 3-mer of the
+    4-bit symbol stream (rolling_kmers semantics, PAD=0 beyond the left
+    edge) — the draft row costs 0.5 bytes/cell instead of 2; the pack
+    falls back to FMT 1 when the given refkmer is not a rolling stream
+    (synthetic inputs).  Inputs are the walker-shaped parts (the native
+    slot walker emits them directly, native.pileup_planes): upper [7,
+    n_dp] u16 rank-1..7 planes with caps already applied, c0 [n_dp] u8
+    slot-0 counts, stats[0:9] = kept-entry histogram by rank + stats[9]
+    = cell-0 prefix mask, ov = cap/mismatch/spill overflow entry arrays
+    sorted by key.  A diverted entry's dense slot is empty (unobserved),
+    so the slot-index-is-rank invariant holds for whatever stays dense.
+    Emax minimizes wire bytes + a 4x overflow-byte penalty (overflow
+    also costs host pack and device scatter time) over {2,3,4,6,8};
+    planes at rank >= Emax move to the overflow list.  Returns
+    (buf, L, Emax, EOV, ET, FMT, TH); EOV == ET == 0 in the common case
+    — the launch then contains no scatter at all."""
+    L = pad_to_chunk(max(n_dp, 1), chunk)
+    refk = np.asarray(refkmer[:n_dp], dtype=np.int64)
+    roll_ok = bool(n_dp) and int(refk[0]) == int(refk[0] & 7) and bool(
+        np.all(refk[1:] == (((refk[:-1] & 63) << 3) | (refk[1:] & 7))))
+    FMT = 0 if roll_ok else 1
+    ovk, ovc, ovr = (np.asarray(a, dtype=np.int64) for a in ov)
+    hist = np.asarray(stats[:9], dtype=np.int64)
     best = None
-    for em in (3, 4, 6, 8, 16):
-        nov = int((divert | (rkc >= em)).sum())
+    for em in (2, 3, 4, 6, 8):
+        nov = int(hist[em:8].sum()) + len(ovk)
         eov = 0 if nov == 0 else _pow2(max(nov, 512))
-        cost = 2 * em * L + 4 * 8 * eov
+        cost = 2 * (em - 1) * L + 4 * 8 * eov
         if best is None or cost < best[0]:
             best = (cost, em, eov, nov)
     _, Emax, EOV, nov = best
-    sel = ~divert & (rkc < Emax)
-    k0 = uk_in[: int(np.searchsorted(uk_in, K3))]
-    s0mask = 1 | int(np.bitwise_or.reduce(
-        1 << np.unique((k0 >> 3) & 7))) if len(k0) else 1
-    maxt = int(total[:n_dp].max()) if n_dp else 1
+    nd1 = max(n_dp, 1)
+    if Emax < 8:
+        left = upper[Emax - 1:]
+        nz = np.flatnonzero(left)
+        if len(nz):
+            w = left.reshape(-1)[nz].astype(np.int64)
+            lk = (nz % nd1) * K3 + (w >> 7)
+            ovk = np.concatenate([ovk, lk])
+            ovc = np.concatenate([ovc, w & CNT_CAP])
+            ovr = np.concatenate([ovr, nz // nd1 + Emax])
+            order = np.argsort(ovk, kind="stable")
+            ovk, ovc, ovr = ovk[order], ovc[order], ovr[order]
+    assert len(ovk) == nov
+    tclamp = np.minimum(totals[:n_dp], 0xFFFF).astype(np.int64)
+    esc = np.flatnonzero(tclamp > TOT_MARK)
+    net = len(esc)
+    ET = 0 if net == 0 else _pow2(max(net, 64))
+    maxt = int(tclamp.max()) if n_dp else 1
     TH = _pow2(min(maxt + 1, TH_CAP))
-    buf = np.zeros(Emax * L + L + 4 * EOV + 7 + 2 * TH, dtype=np.uint16)
-    kcpl = buf[: Emax * L]
-    # plane 0 always carries the draft kmer (count 0 where diverted)
-    kcpl[:n_dp] = (refkmer[:n_dp].astype(np.uint16) << 7)
-    flat = rkc[sel] * L + cells[sel]
-    kcpl[flat] = (kmers[sel] << 7) | cnc[sel]
-    o = Emax * L
-    np.minimum(total[:n_dp], 0xFFFF, out=buf[o: o + n_dp],
-               casting="unsafe")
-    o += L
+    s0mask = 1 | int(stats[9])
+    head = (L // 4) if FMT == 0 else L
+    buf = np.zeros(head + L // 2 + (Emax - 1) * L + L // 2 + 4 * ET
+                   + 4 * EOV + 9 + 2 * TH, dtype=np.uint16)
+    if FMT == 0:
+        sym = np.zeros(L, dtype=np.uint16)
+        sym[:n_dp] = refk & 7
+        buf[: L // 4] = (sym[0::4] | (sym[1::4] << 4) | (sym[2::4] << 8)
+                         | (sym[3::4] << 12))
+    else:
+        buf[:n_dp] = refk.astype(np.uint16)
+    o = head
+    buf[o: o + L // 2].view(np.uint8)[:n_dp] = c0[:n_dp]
+    o += L // 2
+    if Emax > 1:
+        buf[o: o + (Emax - 1) * L].reshape(Emax - 1, L)[:, :n_dp] = \
+            upper[: Emax - 1, :n_dp]
+    o += (Emax - 1) * L
+    buf[o: o + L // 2].view(np.uint8)[:n_dp] = \
+        np.minimum(tclamp, TOT_MARK).astype(np.uint8)
+    o += L // 2
+    if ET:
+        buf[o: o + net] = esc & 0xFFFF
+        buf[o + ET: o + ET + net] = esc >> 16
+        buf[o + 2 * ET: o + 2 * ET + net] = tclamp[esc] & 0xFFFF
+        buf[o + 3 * ET: o + 3 * ET + net] = tclamp[esc] >> 16
+        # pad escape cells redirect past the cell space
+        buf[o + net: o + ET] = 0xFFFF
+        buf[o + ET + net: o + 2 * ET] = 0xFFFF
+        o += 4 * ET
     if EOV:
-        ovk = (cells[~sel] * K3 + kmers[~sel]).astype(np.uint32)
-        buf[o: o + nov] = ovk & 0xFFFF
-        buf[o + EOV: o + EOV + nov] = ovk >> 16
-        buf[o + 2 * EOV: o + 2 * EOV + nov] = cnc[~sel]
-        buf[o + 3 * EOV: o + 3 * EOV + nov] = rkc[~sel].astype(np.uint16)
+        ovk32 = ovk.astype(np.uint32)
+        buf[o: o + nov] = ovk32 & 0xFFFF
+        buf[o + EOV: o + EOV + nov] = ovk32 >> 16
+        buf[o + 2 * EOV: o + 2 * EOV + nov] = ovc.astype(np.uint16)
+        buf[o + 3 * EOV: o + 3 * EOV + nov] = ovr.astype(np.uint16)
         o += 4 * EOV
     buf[o] = s0mask
     r32 = np.float32(rate).view(np.uint32)
@@ -526,10 +607,12 @@ def pack_chain_planes(uk_in, cn_in, rk_in, refkmer, total, n_dp, rate,
     buf[o + 4] = n_dp >> 16
     buf[o + 5] = nov & 0xFFFF
     buf[o + 6] = nov >> 16
+    buf[o + 7] = net & 0xFFFF
+    buf[o + 8] = net >> 16
     thv = coverage_thresholds(TH - 1, cov_ratio).astype(np.uint32)
-    buf[o + 7:o + 7 + 2 * TH:2] = thv & 0xFFFF
-    buf[o + 8:o + 8 + 2 * TH:2] = thv >> 16
-    return buf, L, Emax, EOV, TH
+    buf[o + 9:o + 9 + 2 * TH:2] = thv & 0xFFFF
+    buf[o + 10:o + 10 + 2 * TH:2] = thv >> 16
+    return buf, L, Emax, EOV, ET, FMT, TH
 
 
 def _chain_planes_core(kpl, cpl, refk, total, valid, rate, s0_all,
@@ -646,17 +729,54 @@ def _chain_planes_core(kpl, cpl, refk, total, valid, rate, s0_all,
     return P, msel, cov2.reshape(Ltot, S)
 
 
-def _planes_decode(b32, B, L, Emax, EOV, TH):
+def _unpack_u8(words):
+    """[B, L/2] u16 words -> [B, L] little-endian byte lanes."""
+    B, H = words.shape
+    return jnp.stack([words & 0xFF, words >> 8], axis=-1).reshape(B, 2 * H)
+
+
+def _planes_decode(b32, B, L, Emax, EOV, ET, FMT, TH):
     """Shared buffer decode for the planes kernels; b32 [B, buflen].
-    Dense slots carry kmer<<7 | count in one u16 word; plane 0's kmer
-    lane doubles as the refkmer row."""
-    kcpl = b32[:, : Emax * L]
-    kpl = kcpl >> 7
-    cpl = kcpl & CNT_CAP
-    refk = kpl[:, :L].reshape(B * L)
-    o = Emax * L
-    total = b32[:, o: o + L].reshape(B * L)
-    o += L
+    See pack_chain_planes for the layout.  Returns kpl/cpl [B, Emax*L]
+    (slot kmer / count lanes, plane-major) plus the scalar rows."""
+    if FMT == 0:
+        w = b32[:, : L // 4]
+        sym = jnp.stack([w & 15, (w >> 4) & 15, (w >> 8) & 15,
+                         (w >> 12) & 15], axis=-1).reshape(B, L)
+        # rolling_kmers with PAD(=0) beyond the left edge
+        z1 = jnp.zeros((B, 1), sym.dtype)
+        prev1 = jnp.concatenate([z1, sym[:, :-1]], axis=1)
+        prev2 = jnp.concatenate([z1, z1, sym[:, :-2]], axis=1)
+        refk = (prev2 << 6) | (prev1 << 3) | sym
+        o = L // 4
+    else:
+        refk = b32[:, :L]
+        o = L
+    c0 = _unpack_u8(b32[:, o: o + L // 2])
+    o += L // 2
+    up = b32[:, o: o + (Emax - 1) * L]
+    o += (Emax - 1) * L
+    kpl = jnp.concatenate([refk, (up >> 7).reshape(B, (Emax - 1) * L)],
+                          axis=1)
+    cpl = jnp.concatenate([c0, (up & CNT_CAP).reshape(B, (Emax - 1) * L)],
+                          axis=1)
+    total = _unpack_u8(b32[:, o: o + L // 2])
+    o += L // 2
+    if ET:
+        ecell = (b32[:, o: o + ET] | (b32[:, o + ET: o + 2 * ET] << 16))
+        eval_ = (b32[:, o + 2 * ET: o + 3 * ET]
+                 | (b32[:, o + 3 * ET: o + 4 * ET] << 16))
+        # pad escapes carry cell 0xFFFFFFFF (-1 as int32) -> redirect
+        # past B*L
+        idx = jnp.where(ecell < 0, jnp.int32(B * L),
+                        jnp.minimum(ecell + (jnp.arange(B) * L)[:, None],
+                                    jnp.int32(B * L)))
+        total = total.reshape(B * L)
+        total = jnp.concatenate([total, jnp.zeros(1, total.dtype)]) \
+            .at[idx.ravel()].set(eval_.ravel())[: B * L]
+        o += 4 * ET
+    else:
+        total = total.reshape(B * L)
     ov = None
     if EOV:
         ovk = (b32[:, o: o + EOV]
@@ -671,21 +791,24 @@ def _planes_decode(b32, B, L, Emax, EOV, TH):
         jnp.float32)
     n_dp = b32[:, o + 3] | (b32[:, o + 4] << 16)
     nov = b32[:, o + 5] | (b32[:, o + 6] << 16)
-    th = (b32[0, o + 7:o + 7 + 2 * TH:2]
-          | (b32[0, o + 8:o + 8 + 2 * TH:2] << 16))
-    return kpl, cpl, refk, total, ov, s0mask, rate, n_dp, nov, th
+    th = (b32[0, o + 9:o + 9 + 2 * TH:2]
+          | (b32[0, o + 10:o + 10 + 2 * TH:2] << 16))
+    return kpl, cpl, refk.reshape(B * L), total, ov, s0mask, rate, n_dp, \
+        nov, th
 
 
-@partial(jax.jit, static_argnames=("L", "Emax", "EOV", "TH", "chunk"))
-def chain_correct_planes_batch(bufs, L, Emax, EOV, TH, chunk=CHUNK):
+@partial(jax.jit,
+         static_argnames=("L", "Emax", "EOV", "ET", "FMT", "chunk", "TH"))
+def chain_correct_planes_batch(bufs, L, Emax, EOV, ET, FMT, TH,
+                               chunk=CHUNK):
     """Batched slot-plane chain DP: bufs [B, buflen] u16, one contig per
-    row (same L/Emax/EOV/TH bucket; see chain_correct_packed_batch for
-    the boundary-exactness mechanism — per-row scan axis, per-row s0 and
+    row (same shape bucket; see chain_correct_packed_batch for the
+    boundary-exactness mechanism — per-row scan axis, per-row s0 and
     traceback).  Returns packed [B, L] int8 result bytes."""
     b32 = bufs.astype(jnp.int32)
     B = b32.shape[0]
     kpl, cpl, refk, total, ov, s0mask, rate, n_dp, nov, th = _planes_decode(
-        b32, B, L, Emax, EOV, TH)
+        b32, B, L, Emax, EOV, ET, FMT, TH)
     valid = (jnp.arange(L)[None, :] < n_dp[:, None]).reshape(B * L)
     s0_all = jnp.where((s0mask[:, None] >> jnp.arange(S)[None, :]) & 1 != 0,
                        jnp.float32(0.0), NEG)
@@ -716,10 +839,10 @@ def chain_correct_planes_batch(bufs, L, Emax, EOV, TH, chunk=CHUNK):
     return (choice | zero | low).reshape(B, L)
 
 
-def chain_correct_planes(buf, L, Emax, EOV, TH, chunk=CHUNK):
+def chain_correct_planes(buf, L, Emax, EOV, ET, FMT, TH, chunk=CHUNK):
     """Single-contig slot-plane chain DP (one row of the batch kernel)."""
-    return chain_correct_planes_batch(buf[None], L, Emax, EOV, TH,
-                                      chunk=chunk)[0]
+    return chain_correct_planes_batch(buf[None], L, Emax, EOV, ET, FMT,
+                                      TH, chunk=chunk)[0]
 
 
 def pad_to_chunk(n: int, chunk: int = CHUNK) -> int:
@@ -851,13 +974,14 @@ def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
 
             buf = jax.device_put(buf, device)
         return chain_correct_packed(buf, L, E, TH, chunk=chunk)
-    buf, L, Emax, EOV, TH = pack_chain_planes(
+    buf, L, Emax, EOV, ET, FMT, TH = pack_chain_planes(
         uk_in, cn_in, rk_in, refkmer, total, n_dp, rate, cov_ratio, chunk)
     if device is not None:
         import jax
 
         buf = jax.device_put(buf, device)
-    return chain_correct_planes(buf, L, Emax, EOV, TH, chunk=chunk)
+    return chain_correct_planes(buf, L, Emax, EOV, ET, FMT, TH,
+                                chunk=chunk)
 
 
 def pack_chain_sparse(uk_in, cn_in, rk_in, refkmer, total, n_dp, rate,

@@ -198,3 +198,52 @@ def test_score_chain_pipeline_matches_serial():
     for pname, pseq in piped:
         assert pname == "ctg1"
         assert pseq == serial
+
+
+def test_native_planes_pack_matches_python():
+    """The native slot-walker fast path (build_pileup_planes +
+    pack_chain_planes_parts) must produce a buffer BYTE-IDENTICAL to the
+    fallback (build_pileup_sparse + pack_chain_planes) on messy
+    mixed-CIGAR pileups."""
+    import numpy as np
+
+    from nextpolish_tpu import native
+    from nextpolish_tpu.io.fasta import ASCII_TO_NIB
+    from nextpolish_tpu.models.contig_state import ContigState
+    from nextpolish_tpu.models.score_chain import AlgoConfig
+    from nextpolish_tpu.ops import pileup as pl
+    from nextpolish_tpu.ops import tropical as tr
+    from util_sim import random_messy_records, records_to_batch
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    cfg = AlgoConfig()
+    for seed in (0, 7):
+        rng = np.random.default_rng(seed)
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        L = 4000
+        draft = rng.choice(bases, L).tobytes()
+        recs = random_messy_records(rng, L, n_reads=500)
+        batch = records_to_batch(recs, L)
+        tid = batch.header.name2id("ctg1")
+        levels = pl.filter_sgs_chain(batch)
+        index = pl.build_cell_index(batch, levels, tid, 0, L - 1)
+        state = ContigState.from_draft("ctg1", draft, index)
+        nib = ASCII_TO_NIB[np.frombuffer(draft, dtype=np.uint8)]
+        view = state.index.region_view(0, L - 1)
+        p = pl.build_pileup_sparse(batch, levels, 1, view, tid, nib,
+                                   cfg.trim_len_edge)
+        want = tr.pack_chain_planes(
+            p.uk, p.cn, p.rk, p.refkmer, p.total, view.n_cells_dp, 0.5)
+        fast = pl.build_pileup_planes(batch, levels, 1, view, tid, nib,
+                                      cfg.trim_len_edge)
+        assert fast is not None
+        upper, c0, totals, stats, ov, refkmer = fast
+        got = tr.pack_chain_planes_parts(
+            upper, c0, totals, stats, ov, refkmer, view.n_cells_dp, 0.5)
+        assert got[1:] == want[1:], (got[1:], want[1:])
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(totals[:view.n_cells_dp],
+                                      p.total[:view.n_cells_dp])
