@@ -40,8 +40,15 @@ first, then reads in BAM order).  Scores themselves are tie-independent, so:
     0/NEG relation matrices.
 
 Scores are kept in f32 with per-step renormalization (uniform per-cell shifts
-never change any argmax in a tropical chain); with the default rate grid all
-comparisons stay exact, and tie sites now match the reference byte-for-byte.
+never change any argmax in a tropical chain).  Exactness condition: with a
+DYADIC rate (k/2^m, small m — the sgs default 0.5, or 0.25/0.375/...), every
+score is an exact multiple of 2^-m and the renormalized magnitudes stay far
+inside 2^24, so every f32 comparison is EXACT and tie sites match the
+reference byte-for-byte (property-tested vs the f64 oracle,
+test_f32_tie_exactness_on_and_off_grid).  An off-grid rate (the lgs default
+0.33) rounds in f32 — as the reference's own f64 rounds it, just at a
+different bit — so divergence vs an f64 oracle is possible but confined to
+true-tie sites (the same test bounds it).
 """
 from __future__ import annotations
 
