@@ -877,14 +877,24 @@ def iterate_refine(lqseqs: list[LqSeq], read_type, iterations=2):
 
 
 def update_consensus_trimed(lqseqs: list[LqSeq], cns: Consensus) -> Consensus:
-    """Splice accepted sudoseeds over their regions (:1165-1211); exact
-    control flow (one lq-index step per consensus base)."""
+    """Splice accepted sudoseeds over their regions (:1165-1211).
+
+    Semantics are the C's per-base loop (ONE lq-cursor step per
+    consensus base); runs of bases under a stable cursor state are
+    copied as numpy slices (searchsorted segment bounds), and only the
+    cursor-transition bases replay one at a time — byte-identical to
+    the per-base walk, ~50x less python."""
     pos, base, qv = cns.pos, cns.base, cns.qv
-    out_pos, out_base, out_qv = [], [], []
+    out_pos: list = []
+    out_base: list = []
+    out_qv: list = []
     lqi = len(lqseqs) - 1
     update = True
     n = len(pos)
-    for i in range(n):
+
+    def step_one(i):
+        """The original loop body for exactly one base."""
+        nonlocal lqi, update
         p = int(pos[i])
         if lqi >= 0 and ((lqseqs[lqi].len <= 0 and lqseqs[lqi].len != -2)
                          or p > lqseqs[lqi].end):
@@ -894,19 +904,61 @@ def update_consensus_trimed(lqseqs: list[LqSeq], cns: Consensus) -> Consensus:
                 and (lqseqs[lqi].len > 0 or lqseqs[lqi].len == -2)
                 and lqseqs[lqi].start <= p <= lqseqs[lqi].end):
             if update:
-                for ch in lqseqs[lqi].sudoseed:
-                    out_pos.append(lqseqs[lqi].start)
-                    out_base.append(ch)
-                    out_qv.append(0)
+                seed = np.frombuffer(bytes(lqseqs[lqi].sudoseed),
+                                     dtype=np.uint8)
+                out_pos.append(np.full(len(seed), lqseqs[lqi].start,
+                                       np.int32))
+                out_base.append(seed)
+                out_qv.append(np.zeros(len(seed), np.int32))
                 update = False
         else:
-            out_pos.append(p)
-            out_base.append(int(base[i]))
-            out_qv.append(int(qv[i]))
+            out_pos.append(pos[i:i + 1].astype(np.int32))
+            out_base.append(base[i:i + 1].astype(np.uint8))
+            out_qv.append(qv[i:i + 1].astype(np.int32))
             update = True
-    return Consensus(np.array(out_pos, dtype=np.int32),
-                     np.array(out_base, dtype=np.uint8),
-                     np.array(out_qv, dtype=np.int32))
+
+    i = 0
+    while i < n:
+        if lqi < 0:
+            # cursor exhausted: every remaining base copies verbatim
+            out_pos.append(pos[i:].astype(np.int32))
+            out_base.append(base[i:].astype(np.uint8))
+            out_qv.append(qv[i:].astype(np.int32))
+            break
+        lq = lqseqs[lqi]
+        dead = lq.len <= 0 and lq.len != -2
+        p = int(pos[i])
+        if dead or p > lq.end:
+            # cursor transition (decrements at most once per base):
+            # replay this single base exactly
+            step_one(i)
+            i += 1
+            continue
+        # stable state: top region alive and p <= lq.end.  Bases below
+        # lq.start copy; bases inside [start, end] splice the sudoseed
+        # once (then emit nothing until the region passes)
+        j_end = int(np.searchsorted(pos[i:], lq.end, side="right")) + i
+        j_start = min(int(np.searchsorted(pos[i:], lq.start,
+                                          side="left")) + i, j_end)
+        if j_start > i:
+            out_pos.append(pos[i:j_start].astype(np.int32))
+            out_base.append(base[i:j_start].astype(np.uint8))
+            out_qv.append(qv[i:j_start].astype(np.int32))
+            update = True
+        if j_start < j_end:
+            if update:
+                seed = np.frombuffer(bytes(lq.sudoseed), dtype=np.uint8)
+                out_pos.append(np.full(len(seed), lq.start, np.int32))
+                out_base.append(seed)
+                out_qv.append(np.zeros(len(seed), np.int32))
+                update = False
+        i = j_end
+    if not out_pos:
+        return Consensus(np.zeros(0, np.int32), np.zeros(0, np.uint8),
+                         np.zeros(0, np.int32))
+    return Consensus(np.concatenate(out_pos),
+                     np.concatenate(out_base),
+                     np.concatenate(out_qv))
 
 
 def _inject_cluster_seqs(lq: LqSeq, clu):

@@ -431,6 +431,16 @@ def stitch(parts: list[tuple[int, Consensus]], overlap: int, k: int = 50,
         lstrip[n - 1] += k
 
     split_ps = split_ps or []
+    if not split or not split_ps:
+        # no split machinery active: the per-base loop below reduces to
+        # emitting each window's kept slice — bulk-copy it
+        out = bytearray()
+        for i in range(n):
+            cns = parts[i][1]
+            j = lstrip[i]
+            end_j = len(cns.pos) - rstrip[i]
+            out += cns.base[j:end_j].tobytes()
+        return [bytes(out)]
     outs: list[bytearray] = [bytearray()]
     li = 0
     sp = ((split_ps[0][0] + split_ps[0][1]) // 2 if split_ps else -1)
