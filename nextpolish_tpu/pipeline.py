@@ -173,9 +173,17 @@ class Pipeline:
                 if line:
                     p = line if line.startswith("/") else os.path.join(d,
                                                                        line)
-                    total += os.path.getsize(p)
-            # gz inputs expand ~3x; mapped records cost ~2x the raw bases
-            return total * 6 > host_available_bytes() // 4
+                    sz = os.path.getsize(p)
+                    # MEASURE the expansion of compressed inputs instead
+                    # of assuming a ratio: decompress the first ~4 MB
+                    # and extrapolate (gz ratios for FASTQ range ~2.5-5x
+                    # with quality-line entropy; a guess either spills
+                    # needlessly or OOMs at scale)
+                    if p.endswith((".gz", ".bgz")):
+                        sz = int(sz * _gz_expansion(p))
+                    total += sz
+            # mapped records cost ~2x their raw FASTQ bytes in RAM
+            return total * 2 > host_available_bytes() // 4
         except OSError:
             return False
 
@@ -439,6 +447,31 @@ class Pipeline:
         return asm
 
 
+def _gz_expansion(path: str, probe: int = 1 << 22) -> float:
+    """Measured decompression ratio of a gzip/bgzf file from its first
+    ~4 MB of compressed stream (extrapolated; clamped to sane bounds)."""
+    import gzip
+
+    try:
+        comp = os.path.getsize(path)
+        raw = used = 0
+        with gzip.open(path, "rb") as fh:
+            budget = min(probe, comp)
+            # read decompressed data until the underlying file position
+            # passes the probe budget
+            while fh.fileobj.tell() < budget:
+                block = fh.read(1 << 20)
+                if not block:
+                    break
+                raw += len(block)
+            used = min(fh.fileobj.tell(), comp)
+        if used <= 0 or raw <= 0:
+            return 3.0
+        return float(min(max(raw / used, 1.0), 12.0))
+    except OSError:
+        return 3.0
+
+
 def read_polished_names(outfile: str) -> set:
     """Scan a partial output FASTA; the last (possibly truncated) record is
     dropped and re-polished (lib/nextpolish1.py:163-179)."""
@@ -497,7 +530,13 @@ def mark_duplicates(recs: list, state: dict | None = None) -> list:
 
     `state` carries the seen-key sets across chunks so chunked (spilled)
     processing drops exactly the records a whole-input pass would — mates
-    always share a chunk (chunk sizes are even and pairs adjacent)."""
+    always share a chunk (chunk sizes are even and pairs adjacent).
+
+    Memory: keys are folded to 64-bit mixes (~10x smaller than tuple
+    sets; the whole-genome seen set is the one structure that must span
+    all chunks).  A 64-bit collision falsely drops one fragment with
+    probability ~n^2/2^64 — about 0.1 fragments across a 50x human
+    genome run, far below the sequencing noise floor."""
     primary_by_name: dict = {}
     for i, r in enumerate(recs):
         if not (r["flag"] & (bamio.FSECONDARY | bamio.FSUPPLEMENTARY)):
@@ -514,6 +553,13 @@ def mark_duplicates(recs: list, state: dict | None = None) -> list:
             u5[i] = _unclipped5(recs[i])
         return u5[i]
 
+    def mix(*parts):
+        h = 0xCBF29CE484222325
+        for v in parts:
+            h ^= (v + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
     for i, r in enumerate(recs):
         if r["tid"] < 0 or (r["flag"]
                             & (bamio.FSECONDARY | bamio.FSUPPLEMENTARY)):
@@ -525,15 +571,16 @@ def mark_duplicates(recs: list, state: dict | None = None) -> list:
         if both:
             if r["flag"] & bamio.FREAD2:
                 continue  # key on read1 only; drop both mates together
-            key = (r["tid"], u5_of(i), recs[mate]["tid"], u5_of(mate),
-                   r["flag"] & (bamio.FREVERSE | bamio.FMREVERSE))
+            key = mix(r["tid"], u5_of(i), recs[mate]["tid"], u5_of(mate),
+                      r["flag"] & (bamio.FREVERSE | bamio.FMREVERSE))
             if key in seen:
                 for j in mates:
                     drop.add(j)
             else:
                 seen.add(key)
         else:
-            key_se = (r["tid"], u5_of(i), r["flag"] & bamio.FREVERSE)
+            key_se = mix(r["tid"], u5_of(i),
+                         r["flag"] & bamio.FREVERSE)
             if key_se in seen_se:
                 drop.add(i)
             else:
