@@ -204,3 +204,48 @@ def test_repeat_crossing_read_chains_through():
     cig = recs[0]["cigar"]
     ops, lens = cig & 0xF, cig >> 4
     assert int(lens[ops == 0].sum()) > 6800  # nearly the whole read aligned
+
+
+def test_left_align_runs():
+    """Indel left-normalization: gaps in repeats shift to the leftmost
+    equivalent column (canonical placement across reads), never onto the
+    alignment start, and aligned base pairs are preserved."""
+    import numpy as np
+
+    from nextpolish_tpu.align.longread import _D, _I, _M, left_align_runs
+
+    # ref: ...GC AAAAA T...  read deletes one A (placed rightmost)
+    ref = np.frombuffer(b"GCAAAAAT", dtype=np.uint8)
+    q = np.frombuffer(b"GCAAAAT", dtype=np.uint8)
+    runs = [[_M, 6], [_D, 1], [_M, 1]]  # del of the LAST A
+    out = left_align_runs(runs, q, ref, 0, 0)
+    assert out == [[_M, 2], [_D, 1], [_M, 5]]  # del now leftmost A
+
+    # insertion of an extra A into the same run, placed rightmost
+    ref2 = np.frombuffer(b"GCAAAAT", dtype=np.uint8)
+    q2 = np.frombuffer(b"GCAAAAAT", dtype=np.uint8)
+    runs2 = [[_M, 6], [_I, 1], [_M, 1]]
+    out2 = left_align_runs(runs2, q2, ref2, 0, 0)
+    assert out2 == [[_M, 2], [_I, 1], [_M, 5]]
+
+    # non-repeat context: no shift
+    ref3 = np.frombuffer(b"GACGTT", dtype=np.uint8)
+    q3 = np.frombuffer(b"GACTT", dtype=np.uint8)
+    runs3 = [[_M, 3], [_D, 1], [_M, 2]]
+    assert left_align_runs(runs3, q3, ref3, 0, 0) == [
+        [_M, 3], [_D, 1], [_M, 2]]
+
+    # a gap at the start of a homopolymer alignment must keep >= 1 M
+    ref4 = np.frombuffer(b"AAAAG", dtype=np.uint8)
+    q4 = np.frombuffer(b"AAAG", dtype=np.uint8)
+    runs4 = [[_M, 3], [_D, 1], [_M, 1]]
+    assert left_align_runs(runs4, q4, ref4, 0, 0) == [
+        [_M, 1], [_D, 1], [_M, 3]]
+
+    # dinucleotide repeat: 2-base deletion shifts by the period
+    ref5 = np.frombuffer(b"CAGAGAGT", dtype=np.uint8)
+    q5 = np.frombuffer(b"CAGAGT", dtype=np.uint8)
+    runs5 = [[_M, 5], [_D, 2], [_M, 1]]
+    out5 = left_align_runs(runs5, q5, ref5, 0, 0)
+    # deleted "AG" can sit at offset 1 (C|AG AGAG) — leftmost placement
+    assert out5 == [[_M, 1], [_D, 2], [_M, 5]]
