@@ -627,18 +627,28 @@ def _parse_read_links(state, ex, row, batch, start, end, flagbrim, cfg,
     one KmerScore across reads and regions)."""
     index = state.index
     lo, hi = int(ex.row_off[row]), int(ex.row_off[row + 1])
-    cells = ex.cells[lo:hi]
-    syms = ex.syms[lo:hi]
-    qidx = ex.qidx[lo:hi]
     rid = int(ex.ridx[row])
     mapq = int(batch.mapq[rid])
-    quals = batch.qual
     qoff = int(batch.qual_off[rid])
     cell0 = int(index.cell_of[start - index.start])
-    cell_pos = index.cell_pos()
-    is_ins_cell = index.is_insert_cell()
-    ins_len = index.ins_len
     fl = FLAG_LEFT | FLAG_RIGHT
+
+    # hoist ALL per-cell array indexing into one vectorized gather per
+    # row (the scalar-index version cost ~5 numpy indexings per cell and
+    # dominated the dense-SNP link pass)
+    c_arr = cell0 + ex.cells[lo:hi].astype(np.int64)
+    syms_l = ex.syms[lo:hi].tolist()
+    qidx_a = ex.qidx[lo:hi]
+    pos_l = index.cell_pos()[c_arr].tolist()
+    flag_l = state.flag[c_arr].tolist()
+    ins_l = index.is_insert_cell()[c_arr].tolist()
+    base_l = state.base[c_arr].tolist()
+    qv = np.zeros(hi - lo, dtype=np.int64)
+    hasq = qidx_a >= 0
+    qv[hasq] = batch.qual[qoff + qidx_a[hasq].astype(np.int64)]
+    qv_l = qv.tolist()
+    hasq_l = hasq.tolist()
+    inslen_l = index.ins_len
 
     linkdata = []  # [region bytes, pos, qual, mapq, valid_len]
     region = bytearray()  # current ks buffer
@@ -661,22 +671,21 @@ def _parse_read_links(state, ex, row, batch, start, end, flagbrim, cfg,
         linkdata.append([bytes(r), ks_state[0], q, mapq, len(r)])
         curpos = 0
 
-    for k in range(len(cells)):
-        c = cell0 + int(cells[k])
-        pos_i = int(cell_pos[c])
-        sym = int(syms[k])
-        has_q = int(qidx[k]) >= 0
-        if is_ins_cell[c]:
+    for k in range(hi - lo):
+        pos_i = pos_l[k]
+        sym = syms_l[k]
+        has_q = hasq_l[k]
+        if ins_l[k]:
             # read I bases and insert padding (BAM_CINS branch + the
             # pre-position padding block, both gated on curpos)
             if curpos:
                 region.append(sym)
                 if has_q:
-                    qual_acc += int(quals[qoff + int(qidx[k])])
+                    qual_acc += qv_l[k]
                 else:
                     dels += 1
             continue
-        base_flag = int(state.flag[c])
+        base_flag = flag_l[k]
         if flagbrim == 0 or (base_flag & fl):
             if base_flag & FLAG_SNP:
                 if curpos == 0:
@@ -690,23 +699,22 @@ def _parse_read_links(state, ex, row, batch, start, end, flagbrim, cfg,
                 else:
                     sign += 1
             elif flagbrim:
-                if has_q and sym == int(state.base[c]):
+                if has_q and sym == base_l[k]:
                     sign += 1
             else:
                 sign += 1
             if curpos:
                 region.append(sym)
                 if has_q and sym != DEL:
-                    qual_acc += int(quals[qoff + int(qidx[k])])
-                if ks_state[0] != pos_i or ins_len[pos_i] == 0:
+                    qual_acc += qv_l[k]
+                if ks_state[0] != pos_i or inslen_l[pos_i] == 0:
                     finalize(pos_i)
             if ks_state[0] != pos_i:
                 if base_flag & FLAG_SNP:
                     # new site starts here, reusing the just-appended
                     # byte as region[0] (the C's q-pointer dance)
                     region = bytearray([sym])
-                    qual_acc = (int(quals[qoff + int(qidx[k])])
-                                if has_q else 0)
+                    qual_acc = qv_l[k] if has_q else 0
                     dels = 0
                     ks_state[0] = pos_i
                     curpos = 1
