@@ -2,9 +2,13 @@
 
 Two workloads, both with the hard paths exercised:
 
-1. task 1 (score_chain): 4 contigs x 100 kb at 40x short-read coverage
-   with substitutions, insertions, deletions and soft-clipped reads
-   (mixed-op CIGARs -> insert cells, clip handling, region rescue).
+1. task 1 (score_chain): 12 contigs x 100 kb at 40x short-read
+   coverage with substitutions, insertions, deletions and soft-clipped
+   reads (mixed-op CIGARs -> insert cells, clip handling, region
+   rescue).  12 contigs so the software pipeline reaches steady state
+   (prep/transfer/launch overlap) — real runs stream hundreds of
+   windows; a 4-contig run measured mostly ramp (386k vs 842k reads/s
+   measured steady).
 2. task 5 (ONT ctg_cns): 2 contigs x 50 kb at ~40x simulated ONT reads
    through the built-in long-read mapper, polished end to end (window
    consensus incl. LQ repair).
@@ -75,7 +79,7 @@ def _sim_read(rng, true, s, ref_span, bases, p_ins=0.002, p_del=0.002,
     return seq.tobytes(), cig
 
 
-def make_task1_case(rng, L=100_000, depth=40, read_len=150, n_contigs=4,
+def make_task1_case(rng, L=100_000, depth=40, read_len=150, n_contigs=12,
                     clip_frac=0.02, p_indel=0.002, p_sub=0.01):
     from nextpolish_tpu.io.bam import AlnBatch, BamHeader
     from nextpolish_tpu.io.fasta import ASCII_TO_NIB
@@ -398,7 +402,7 @@ def main():
     # batch-scaling curve (contigs per run; proxy for the two-host
     # ≥0.8-efficiency target on a rig with one real chip)
     scaling = {}
-    for k in (1, 2, 4):
+    for k in (1, 4, 12):
         d = float("inf")
         for _ in range(2):
             t0 = time.time()

@@ -282,6 +282,32 @@ def left_align_runs(runs, qcodes, rcodes, qa: int, ra: int):
     return out
 
 
+def left_align_cigar(cig: np.ndarray, qcodes: np.ndarray,
+                     ref_codes: np.ndarray, q0: int, r0: int) -> np.ndarray:
+    """left_align_runs over a BAM cigar array (clips preserved).
+    q0/r0 = query offset (after the 5' clip) and global ref start of the
+    aligned span."""
+    ops = (cig & 0xF).astype(np.int64)
+    lens = (cig >> 4).astype(np.int64)
+    head = []
+    tail = []
+    mid = []
+    for op, ln in zip(ops.tolist(), lens.tolist()):
+        if op in (4, 5) and not mid:
+            head.append((op, ln))
+        elif op in (4, 5):
+            tail.append((op, ln))
+        else:
+            mid.append([op, ln])
+    if not any(op in (_I, _D) for op, _ in mid):
+        return cig
+    mid = left_align_runs(mid, qcodes, ref_codes, q0, r0)
+    out = ([(ln << 4) | op for op, ln in head]
+           + [(ln << 4) | op for op, ln in mid]
+           + [(ln << 4) | op for op, ln in tail])
+    return np.array(out, dtype=np.uint32)
+
+
 def map_long_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
                    k: int = 15, w: int = 10, min_chain: int = 3,
                    match=2, mismatch=4, gapo=4, gape=2):

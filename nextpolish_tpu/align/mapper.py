@@ -348,7 +348,13 @@ def map_short_batch(idx: GenomeIndex, seqs: list, names: list | None = None,
                     cig.append(((ql - 1 - ih) << 4) | _SOFT)
                 cig = np.array(cig, dtype=np.uint32)
             else:
+                from .longread import left_align_cigar
+
                 cig = runs_to_cigar(ops[b], il, ih, ql)
+                # canonical indel placement in repeats (same rationale
+                # as the long-read mapper; see longread.left_align_runs)
+                cig = left_align_cigar(cig, q[b], idx.codes, il,
+                                       int(tstart[b] + j_lo[b]))
             mapq = _mapq(v1, v2, int(score[b]), ql)
             records[i] = dict(
                 ref_id=int(tid_b[b]),
@@ -422,7 +428,11 @@ def _mate_rescue(records, idx: GenomeIndex, codes_fwd, min_score: int,
                     or tid_b[b] != tid2_b[b] or pos_b[b] < 0:
                 continue
             il, ih, ql = int(i_lo[b]), int(i_hi[b]), int(qlen[b])
+            from .longread import left_align_cigar
+
             cig = runs_to_cigar(ops[b], il, ih, ql)
+            cig = left_align_cigar(cig, q[b], idx.codes, il,
+                                   int(tstart[b] + j_lo[b]))
             records[i] = dict(
                 ref_id=int(tid_b[b]), pos=int(pos_b[b]),
                 strand=int(strands[b]),

@@ -78,14 +78,20 @@ def _cache_path() -> str:
     return os.environ.get("NPT_CNS_CALIB", "/tmp/npt_cns_calib.json")
 
 
+# bump when either engine's performance characteristics change, so a
+# cached decision from an older build re-probes instead of going stale
+CALIB_VERSION = 2
+
+
 def _cache_key(read_type: str) -> str:
     try:
         import jax
 
         dev = jax.devices()[0]
-        return f"{jax.default_backend()}/{dev.device_kind}/{read_type}"
+        return (f"v{CALIB_VERSION}/{jax.default_backend()}/"
+                f"{dev.device_kind}/{read_type}")
     except Exception:
-        return f"unknown/{read_type}"
+        return f"v{CALIB_VERSION}/unknown/{read_type}"
 
 
 def choose_engine(read_type: str) -> str:

@@ -242,8 +242,12 @@ def score_chain_contig_prep(name: str, draft: bytes, batch: AlnBatch,
     if impl not in ("entries", "pyplanes"):
         # hot path: the native slot walker emits the transfer planes
         # directly (byte-equal to the fallback below by test)
+        # the pipeline runs two prep threads on its own; each walker
+        # then takes ONE thread so 2 cores aren't oversubscribed
+        wt = int(_os.environ.get("NPT_PILEUP_THREADS", "0"))
         fast = pl.build_pileup_planes(batch, levels, 1, view, tid,
-                                      contig_nib, cfg.trim_len_edge)
+                                      contig_nib, cfg.trim_len_edge,
+                                      n_threads=wt)
         if fast is not None:
             upper, c0, totals, stats, ov, refkmer = fast
             buf, Lp, Emax, EOV, ET, FMT, TH = pack_chain_planes_parts(
@@ -435,7 +439,10 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
 
     # two prep workers: finish-side host work is tiny, so the main
     # thread mostly waits — a second walker keeps both cores busy (the
-    # native walker releases the GIL)
+    # native walker releases the GIL).  Each prep's internal walker
+    # stays single-threaded (NPT_PILEUP_THREADS) so the two preps don't
+    # oversubscribe a 2-core host; standalone preps keep all cores.
+    _os.environ.setdefault("NPT_PILEUP_THREADS", "1")
     with ThreadPoolExecutor(max_workers=2) as pool:
         it = iter(names_seqs)
         # a streaming source (IndexedBam) shares one file handle + block

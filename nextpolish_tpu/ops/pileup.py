@@ -615,7 +615,8 @@ def _native_pileup(batch: AlnBatch, levels: np.ndarray, level: int,
 
 def build_pileup_planes(batch: AlnBatch, levels: np.ndarray, level: int,
                         index: CellIndex, tid: int,
-                        contig_nib: np.ndarray, trim_len_edge: int = 2):
+                        contig_nib: np.ndarray, trim_len_edge: int = 2,
+                        n_threads: int = 0):
     """Task-1 hot-path pileup via the native slot walker
     (native/pileup.cpp npt_pileup_planes): emits the chain-DP transfer
     planes directly — no dense [cells*512] table, no dirty-list sort,
@@ -639,7 +640,7 @@ def build_pileup_planes(batch: AlnBatch, levels: np.ndarray, level: int,
         ridx, batch.pos, batch.cigar, batch.cigar_off, batch.cigar_len,
         batch.seq, batch.seq_off, batch.lqseq, index.start, index.end,
         index.cell_of, index.ins_len, index.n_cells, index.n_cells_dp,
-        refkmer, trim_len_edge, max_span=max_span)
+        refkmer, trim_len_edge, max_span=max_span, n_threads=n_threads)
     if out is None:
         return None
     upper, c0, totals, stats, ov = out

@@ -97,10 +97,11 @@ def chain_flops(n_cells: int) -> float:
 
 
 def chain_bytes(n_cells: int, E_entries: int = 0) -> float:
-    """Approximate HBM bytes for one chain launch: the densified
-    [L, 512] u16 counts + ranks written and re-read, plus transitions
-    [L, 64] f32 and state vectors."""
-    return n_cells * (2 * 512 * 2 * 2 + 64 * 4 * 2 + 8 * 4 * 4)
+    """Approximate HBM bytes for one slot-plane chain launch: the
+    transfer buffer (~8.5 B/cell at Emax=4), the [L, 64] f32 transition
+    lattice written+read, the [L, Emax, 8] masked-reduction traffic of
+    the pointer passes, and the scan state/traceback tensors."""
+    return n_cells * (9 + 64 * 4 * 2 + 4 * 8 * 4 * 3 + 8 * 4 * 6)
 
 
 def cns_scan_bytes(E: int, Vb: int, B: int, n_levels: int) -> float:
