@@ -330,6 +330,9 @@ def score_chain_contig_end(handle) -> bytes:
     from ..runtime import trace
 
     h = handle
+    done = getattr(h, "done", None)
+    if done is not None:  # windowed big-contig path finished in prep
+        return done
     with trace.timed("task1.wait"):
         if h.lane is None:
             packed = np.asarray(h.dev)
@@ -392,6 +395,15 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
 
     from ..runtime import trace
 
+    # single-launch cells are capped: the chain kernel's [L, Emax, 8]
+    # tensors pad 16x on TPU lanes, and a ~4 Mcell launch exceeds HBM
+    # (measured: 17 GB asked of a 16 GB v5e at a 3 Mb contig).  Bigger
+    # contigs run through the windowed sharded-chain path on a
+    # single-device mesh — 2^19-cell windows with byte-exact s0
+    # chaining and backward stitch (score_chain_contig_sharded)
+    win_bases = int(_os.environ.get("NPT_CHAIN_WINDOW_BASES", "1000000"))
+    _mesh1 = []
+
     def prep(name, seq):
         with trace.timed("task1.host"):
             if streaming:
@@ -400,6 +412,22 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
                 clevels = pl.filter_sgs_chain(cbatch)
             else:
                 cbatch, clevels = batch, shared_levels
+            if len(seq) > win_bases:
+                from types import SimpleNamespace
+
+                from ..parallel.shard import reads_mesh
+
+                if not _mesh1:
+                    _mesh1.append(reads_mesh(1))
+                # 2^17-cell windows: the merge kernel's dense
+                # [Wc*K3] scratch tensors must fit ONE chip's HBM
+                # alongside each other (2^19 windows OOMed a 16 GB
+                # v5e at 17 GB)
+                out = score_chain_contig_sharded(name, seq, cbatch, cfg,
+                                                 _mesh1[0],
+                                                 levels=clevels,
+                                                 window_cells=1 << 17)
+                return SimpleNamespace(done=out)
             h = score_chain_contig_prep(name, seq, cbatch, cfg,
                                         levels=clevels)
             if G == 1:
@@ -428,8 +456,8 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
                     dispatch_chain_group(hs, device=dev)
 
     def stage(h):
-        if G == 1:
-            return  # already dispatched in the prep thread
+        if G == 1 or getattr(h, "done", None) is not None:
+            return  # already dispatched in the prep thread (or finished)
         b = h.key
         staged.setdefault(b, []).append(h)
         if len(staged[b]) >= G:
@@ -439,10 +467,11 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
 
     # two prep workers: finish-side host work is tiny, so the main
     # thread mostly waits — a second walker keeps both cores busy (the
-    # native walker releases the GIL).  Each prep's internal walker
-    # stays single-threaded (NPT_PILEUP_THREADS) so the two preps don't
-    # oversubscribe a 2-core host; standalone preps keep all cores.
-    _os.environ.setdefault("NPT_PILEUP_THREADS", "1")
+    # native walker releases the GIL).  NPT_PILEUP_THREADS can pin each
+    # prep's internal walker width; measured on the 2-core rig, the
+    # oversubscribed default (each walker takes every core) still beats
+    # single-threaded walkers 842k to 509k reads/s — the walk finishes
+    # sooner and the wire stays fed.
     with ThreadPoolExecutor(max_workers=2) as pool:
         it = iter(names_seqs)
         # a streaming source (IndexedBam) shares one file handle + block
@@ -472,13 +501,15 @@ def score_chain_pipeline(names_seqs, batch, cfg: AlgoConfig):
             win = 2 if streaming else max(4, G, 2 * len(devices))
             if len(pending) > win:
                 pname, ph = pending.popleft()
-                if ph.dev is None and ph.holder is None:
+                if (getattr(ph, "done", None) is None and ph.dev is None
+                        and ph.holder is None):
                     flush(ph.key)
                 yield pname, score_chain_contig_end(ph)
         flush()
         while pending:
             pname, ph = pending.popleft()
-            if ph.dev is None and ph.holder is None:
+            if (getattr(ph, "done", None) is None and ph.dev is None
+                    and ph.holder is None):
                 flush(ph.key)
             yield pname, score_chain_contig_end(ph)
 
@@ -497,7 +528,8 @@ SHARD_WINDOW_CELLS = 1 << 19
 
 
 def score_chain_contig_sharded(name: str, draft: bytes, batch: AlnBatch,
-                               cfg: AlgoConfig, mesh, levels=None) -> bytes:
+                               cfg: AlgoConfig, mesh, levels=None,
+                               window_cells: int | None = None) -> bytes:
     """Task 1 for ONE large contig with its reads sharded over the mesh.
 
     The qualifying reads split into contiguous BAM-order blocks, one per
@@ -565,7 +597,8 @@ def score_chain_contig_sharded(name: str, draft: bytes, batch: AlnBatch,
     TH = _pow2(min(maxt + 1, TH_CAP))
     th = coverage_thresholds(TH - 1, cfg.min_count_ratio_skip
                              ).astype(np.int32)
-    Wc = min(pad_to_chunk(max(n_dp, 1)), SHARD_WINDOW_CELLS)
+    Wc = min(pad_to_chunk(max(n_dp, 1)),
+             window_cells or SHARD_WINDOW_CELLS)
     wlos = list(range(0, max(n_dp, 1), Wc))
     sh_r = NamedSharding(mesh, P(mesh.axis_names[0]))
     sh_rep = NamedSharding(mesh, P())

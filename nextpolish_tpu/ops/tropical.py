@@ -572,7 +572,7 @@ def pack_chain_planes_parts(upper, c0, totals, stats, ov, refkmer, n_dp,
     s0mask = 1 | int(stats[9])
     head = (L // 4) if FMT == 0 else L
     buf = np.zeros(head + L // 2 + (Emax - 1) * L + L // 2 + 4 * ET
-                   + 4 * EOV + 9 + 2 * TH, dtype=np.uint16)
+                   + 5 * EOV + 9 + 2 * TH, dtype=np.uint16)
     if FMT == 0:
         sym = np.zeros(L, dtype=np.uint16)
         sym[:n_dp] = refk & 7
@@ -600,12 +600,16 @@ def pack_chain_planes_parts(upper, c0, totals, stats, ov, refkmer, n_dp,
         buf[o + ET + net: o + 2 * ET] = 0xFFFF
         o += 4 * ET
     if EOV:
-        ovk32 = ovk.astype(np.uint32)
-        buf[o: o + nov] = ovk32 & 0xFFFF
-        buf[o + EOV: o + EOV + nov] = ovk32 >> 16
-        buf[o + 2 * EOV: o + 2 * EOV + nov] = ovc.astype(np.uint16)
-        buf[o + 3 * EOV: o + 3 * EOV + nov] = ovr.astype(np.uint16)
-        o += 4 * EOV
+        # cell and kmer ride separately: a combined cell*K3+kmer key
+        # overflows int32 at L = 2^22 cells (jax x64 is off), which a
+        # 3 Mb contig reaches
+        ovcell = (ovk // K3).astype(np.uint32)
+        buf[o: o + nov] = ovcell & 0xFFFF
+        buf[o + EOV: o + EOV + nov] = ovcell >> 16
+        buf[o + 2 * EOV: o + 2 * EOV + nov] = (ovk % K3).astype(np.uint16)
+        buf[o + 3 * EOV: o + 3 * EOV + nov] = ovc.astype(np.uint16)
+        buf[o + 4 * EOV: o + 4 * EOV + nov] = ovr.astype(np.uint16)
+        o += 5 * EOV
     buf[o] = s0mask
     r32 = np.float32(rate).view(np.uint32)
     buf[o + 1] = r32 & 0xFFFF
@@ -648,9 +652,7 @@ def _chain_planes_core(kpl, cpl, refk, total, valid, rate, s0_all,
                             == jnp.arange(64, dtype=jnp.int32))
     A = jnp.max(jnp.where(hit, em[..., None], NEG), axis=1)  # [B, L, 64]
     if ov is not None:
-        ovk, ovcn, ovrk = ov
-        e_cell = ovk // K3
-        e_kmer = ovk % K3
+        e_cell, e_kmer, ovcn, ovrk = ov
         is_pad = e_cell >= Ltot
         c_cl = jnp.minimum(e_cell, Ltot - 1)
         tot_e = total[c_cl]
@@ -786,12 +788,13 @@ def _planes_decode(b32, B, L, Emax, EOV, ET, FMT, TH):
         total = total.reshape(B * L)
     ov = None
     if EOV:
-        ovk = (b32[:, o: o + EOV]
-               | (b32[:, o + EOV: o + 2 * EOV] << 16))
-        ovcn = b32[:, o + 2 * EOV: o + 3 * EOV]
-        ovrk = b32[:, o + 3 * EOV: o + 4 * EOV]
-        o += 4 * EOV
-        ov = (ovk, ovcn, ovrk)
+        ovcell = (b32[:, o: o + EOV]
+                  | (b32[:, o + EOV: o + 2 * EOV] << 16))
+        ovkm = b32[:, o + 2 * EOV: o + 3 * EOV]
+        ovcn = b32[:, o + 3 * EOV: o + 4 * EOV]
+        ovrk = b32[:, o + 4 * EOV: o + 5 * EOV]
+        o += 5 * EOV
+        ov = (ovcell, ovkm, ovcn, ovrk)
     s0mask = b32[:, o]
     rate = jax.lax.bitcast_convert_type(
         (b32[0, o + 1] | (b32[0, o + 2] << 16)).astype(jnp.int32),
@@ -821,15 +824,17 @@ def chain_correct_planes_batch(bufs, L, Emax, EOV, ET, FMT, TH,
                        jnp.float32(0.0), NEG)
     ovt = None
     if EOV:
-        # flatten rows into one global entry list: each row's keys shift
-        # by its cell-space offset and per-row pad lanes redirect past
-        # Ltot*K3 (the core derives is_pad from that)
-        ovk, ovcn, ovrk = ov
+        # flatten rows into one global entry list: each row's CELLS
+        # shift by its row offset and per-row pad lanes redirect past
+        # B*L (the core derives is_pad from that); cell and kmer stay
+        # separate so nothing approaches the int32 limit even at
+        # multi-megabase L
+        ovcell, ovkm, ovcn, ovrk = ov
         lanes = jnp.arange(EOV)[None, :]
-        trash = B * L * K3
-        ovk_g = jnp.where(lanes < nov[:, None],
-                          ovk + (jnp.arange(B) * (L * K3))[:, None], trash)
-        ovt = (ovk_g.ravel(), ovcn.ravel(), ovrk.ravel())
+        ovc_g = jnp.where(lanes < nov[:, None],
+                          ovcell + (jnp.arange(B) * L)[:, None],
+                          jnp.int32(B * L))
+        ovt = (ovc_g.ravel(), ovkm.ravel(), ovcn.ravel(), ovrk.ravel())
     P, msel, cov2 = _chain_planes_core(
         kpl, cpl, refk, total, valid, rate, s0_all, ovt, B, L, Emax, EOV,
         chunk)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 import sys
-from functools import partial
+
 
 import numpy as np
 
