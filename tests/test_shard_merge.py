@@ -154,3 +154,18 @@ def test_multichip_router_routes_big_contigs():
     got2 = list(score_chain_pipeline_multichip(pairs, b1, cfg, mesh=mesh,
                                                shard_min=10 ** 9))
     assert got2 == want
+
+
+def test_pipeline_windows_big_contigs_single_device(monkeypatch):
+    """Contigs above NPT_CHAIN_WINDOW_BASES route through the windowed
+    sharded path on a ONE-device mesh (the single-chip big-contig fix:
+    a multi-megabase single launch overflows int32 keys and HBM) —
+    byte-equal to the direct engine."""
+    from nextpolish_tpu.models.score_chain import score_chain_pipeline
+
+    draft, batch = _case(4, L=6000, n_reads=500)
+    cfg = AlgoConfig()
+    want = score_chain_contig("ctg1", draft, batch, cfg)
+    monkeypatch.setenv("NPT_CHAIN_WINDOW_BASES", "2000")
+    got = list(score_chain_pipeline([("ctg1", draft)], batch, cfg))
+    assert got == [("ctg1", want)]
