@@ -329,10 +329,11 @@ def measure_chain_kernel(prep_handle=None):
                        % K3).astype(np.int32)
             total = np.full(n_dp, per * 20, np.int32)
             cfg = AlgoConfig()
-            buf, L, Emax, EOV, ET, FMT, TH = tr.pack_chain_planes(
+            buf, *shp = tr.pack_chain_planes(
                 uk, cn, rk, refkmer, total, n_dp,
                 cfg.indel_balance_factor_sgs)
-            kind, shape = "planes", (L, Emax, EOV, ET, FMT, TH)
+            kind, shape = "planes", tuple(shp)
+            L = shp[0]
         bufd = jax.device_put(buf)
         kfn = (tr.chain_correct_planes if kind == "planes"
                else tr.chain_correct_packed)

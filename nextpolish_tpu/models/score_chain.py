@@ -202,7 +202,7 @@ class _ChainHandle:
         self.cfg = cfg
         self.draft = draft
         self.buf = buf
-        self.key = key  # jit shape bucket: ("planes", L, Emax, EOV, ET, FMT, TH)
+        self.key = key  # jit shape bucket: ("planes", L, Emax, EOV, ET, FMT, TH, PS)
         #               or ("entries", L, E, TH)
         self.dev = None  # device result (set at dispatch)
         self.lane = None  # row in a batched launch
@@ -250,11 +250,11 @@ def score_chain_contig_prep(name: str, draft: bytes, batch: AlnBatch,
                                       n_threads=wt)
         if fast is not None:
             upper, c0, totals, stats, ov, refkmer = fast
-            buf, Lp, Emax, EOV, ET, FMT, TH = pack_chain_planes_parts(
+            buf, *shape = pack_chain_planes_parts(
                 upper, c0, totals, stats, ov, refkmer, view.n_cells_dp,
                 cfg.indel_balance_factor_sgs,
                 cov_ratio=cfg.min_count_ratio_skip)
-            key = ("planes", Lp, Emax, EOV, ET, FMT, TH)
+            key = ("planes", *shape)
             p = SimpleNamespace(index=view)
             return _ChainHandle(name, state, p, cell0, cfg, draft, buf,
                                 key)
@@ -267,11 +267,11 @@ def score_chain_contig_prep(name: str, draft: bytes, batch: AlnBatch,
             cov_ratio=cfg.min_count_ratio_skip)
         key = ("entries", Lp, E, TH)
     else:
-        buf, Lp, Emax, EOV, ET, FMT, TH = pack_chain_planes(
+        buf, *shape = pack_chain_planes(
             p.uk, p.cn, p.rk, p.refkmer, p.total, p.index.n_cells_dp,
             cfg.indel_balance_factor_sgs,
             cov_ratio=cfg.min_count_ratio_skip)
-        key = ("planes", Lp, Emax, EOV, ET, FMT, TH)
+        key = ("planes", *shape)
     return _ChainHandle(name, state, p, cell0, cfg, draft, buf, key)
 
 

@@ -513,7 +513,11 @@ def pack_chain_planes_parts(upper, c0, totals, stats, ov, refkmer, n_dp,
        refk(L)    — full u16 refkmer row (FMT 1, arbitrary refkmer)
       | c0(L/2)   — slot-0 counts as u8 pairs (contig-as-read kmer
                     counts; the kmer itself is the refkmer)
-      | p1..p(Emax-1) u16 planes: kmer<<7 | count
+      | p1 dense u16 plane: kmer<<7 | count (rank 1)
+      | per rank j in [2, Emax): bitmap(L/16) + packed(P_j) u16 words
+        (upper planes are 3-25% occupied — bitmap + packed words cost
+        occupancy-proportional wire instead of 2 B/cell; the device
+        re-densifies with a cumsum + gather)
       | tot(L/2)  — totals as u8 pairs, 255 = clamp marker
       | tesc(4*ET)— escaped totals: cell u32 + value u32 as lo/hi pairs
       | ovk_lo/hi, ovcn, ovrk (4*EOV) — overflow entries
@@ -533,8 +537,9 @@ def pack_chain_planes_parts(upper, c0, totals, stats, ov, refkmer, n_dp,
     Emax minimizes wire bytes + a 4x overflow-byte penalty (overflow
     also costs host pack and device scatter time) over {2,3,4,6,8};
     planes at rank >= Emax move to the overflow list.  Returns
-    (buf, L, Emax, EOV, ET, FMT, TH); EOV == ET == 0 in the common case
-    — the launch then contains no scatter at all."""
+    (buf, L, Emax, EOV, ET, FMT, TH, PS) with PS = the packed-word
+    bucket per sparse plane; EOV == ET == 0 in the common case — the
+    launch then contains no scatter at all."""
     L = pad_to_chunk(max(n_dp, 1), chunk)
     refk = np.asarray(refkmer[:n_dp], dtype=np.int64)
     roll_ok = bool(n_dp) and int(refk[0]) == int(refk[0] & 7) and bool(
@@ -546,10 +551,14 @@ def pack_chain_planes_parts(upper, c0, totals, stats, ov, refkmer, n_dp,
     for em in (2, 3, 4, 6, 8):
         nov = int(hist[em:8].sum()) + len(ovk)
         eov = 0 if nov == 0 else _pow2(max(nov, 512))
-        cost = 2 * (em - 1) * L + 4 * 8 * eov
+        cost = (2 * min(em - 1, 1) * L
+                + sum(L // 8 + 2 * _pow2(max(int(hist[j]), 64))
+                      for j in range(2, em))
+                + 4 * 8 * eov)
         if best is None or cost < best[0]:
             best = (cost, em, eov, nov)
     _, Emax, EOV, nov = best
+    PS = tuple(_pow2(max(int(hist[j]), 64)) for j in range(2, Emax))
     nd1 = max(n_dp, 1)
     if Emax < 8:
         left = upper[Emax - 1:]
@@ -571,7 +580,8 @@ def pack_chain_planes_parts(upper, c0, totals, stats, ov, refkmer, n_dp,
     TH = _pow2(min(maxt + 1, TH_CAP))
     s0mask = 1 | int(stats[9])
     head = (L // 4) if FMT == 0 else L
-    buf = np.zeros(head + L // 2 + (Emax - 1) * L + L // 2 + 4 * ET
+    buf = np.zeros(head + L // 2 + min(Emax - 1, 1) * L
+                   + sum(L // 16 + pj for pj in PS) + L // 2 + 4 * ET
                    + 5 * EOV + 9 + 2 * TH, dtype=np.uint16)
     if FMT == 0:
         sym = np.zeros(L, dtype=np.uint16)
@@ -584,9 +594,18 @@ def pack_chain_planes_parts(upper, c0, totals, stats, ov, refkmer, n_dp,
     buf[o: o + L // 2].view(np.uint8)[:n_dp] = c0[:n_dp]
     o += L // 2
     if Emax > 1:
-        buf[o: o + (Emax - 1) * L].reshape(Emax - 1, L)[:, :n_dp] = \
-            upper[: Emax - 1, :n_dp]
-    o += (Emax - 1) * L
+        buf[o: o + L][:n_dp] = upper[0, :n_dp]
+        o += L
+    for pi, pj in enumerate(PS):
+        plane = np.zeros(L, dtype=np.uint16)
+        plane[:n_dp] = upper[pi + 1, :n_dp]
+        nzp = np.flatnonzero(plane)
+        assert len(nzp) <= pj
+        bits = np.packbits(plane.astype(bool), bitorder="little")
+        buf[o: o + L // 16].view(np.uint8)[: L // 8] = bits
+        o += L // 16
+        buf[o: o + len(nzp)] = plane[nzp]
+        o += pj
     buf[o: o + L // 2].view(np.uint8)[:n_dp] = \
         np.minimum(tclamp, TOT_MARK).astype(np.uint8)
     o += L // 2
@@ -623,7 +642,7 @@ def pack_chain_planes_parts(upper, c0, totals, stats, ov, refkmer, n_dp,
     thv = coverage_thresholds(TH - 1, cov_ratio).astype(np.uint32)
     buf[o + 9:o + 9 + 2 * TH:2] = thv & 0xFFFF
     buf[o + 10:o + 10 + 2 * TH:2] = thv >> 16
-    return buf, L, Emax, EOV, ET, FMT, TH
+    return buf, L, Emax, EOV, ET, FMT, TH, PS
 
 
 def _chain_planes_core(kpl, cpl, refk, total, valid, rate, s0_all,
@@ -744,7 +763,7 @@ def _unpack_u8(words):
     return jnp.stack([words & 0xFF, words >> 8], axis=-1).reshape(B, 2 * H)
 
 
-def _planes_decode(b32, B, L, Emax, EOV, ET, FMT, TH):
+def _planes_decode(b32, B, L, Emax, EOV, ET, FMT, TH, PS):
     """Shared buffer decode for the planes kernels; b32 [B, buflen].
     See pack_chain_planes for the layout.  Returns kpl/cpl [B, Emax*L]
     (slot kmer / count lanes, plane-major) plus the scalar rows."""
@@ -763,12 +782,26 @@ def _planes_decode(b32, B, L, Emax, EOV, ET, FMT, TH):
         o = L
     c0 = _unpack_u8(b32[:, o: o + L // 2])
     o += L // 2
-    up = b32[:, o: o + (Emax - 1) * L]
-    o += (Emax - 1) * L
-    kpl = jnp.concatenate([refk, (up >> 7).reshape(B, (Emax - 1) * L)],
-                          axis=1)
-    cpl = jnp.concatenate([c0, (up & CNT_CAP).reshape(B, (Emax - 1) * L)],
-                          axis=1)
+    ups = []
+    if Emax > 1:
+        ups.append(b32[:, o: o + L])
+        o += L
+    for pj in PS:
+        # re-densify a bitmap + packed-words plane: bit positions index
+        # into the packed array via an exclusive running count
+        words = b32[:, o: o + L // 16]
+        o += L // 16
+        packed = b32[:, o: o + pj]
+        o += pj
+        bits = ((words[:, :, None] >> jnp.arange(16, dtype=jnp.int32))
+                & 1).reshape(B, L)
+        idx = jnp.cumsum(bits, axis=1) - 1
+        w = jnp.take_along_axis(packed, jnp.clip(idx, 0, pj - 1), axis=1)
+        ups.append(jnp.where(bits > 0, w, 0))
+    up = (jnp.concatenate(ups, axis=1) if ups
+          else jnp.zeros((B, 0), jnp.int32))
+    kpl = jnp.concatenate([refk, up >> 7], axis=1)
+    cpl = jnp.concatenate([c0, up & CNT_CAP], axis=1)
     total = _unpack_u8(b32[:, o: o + L // 2])
     o += L // 2
     if ET:
@@ -808,8 +841,9 @@ def _planes_decode(b32, B, L, Emax, EOV, ET, FMT, TH):
 
 
 @partial(jax.jit,
-         static_argnames=("L", "Emax", "EOV", "ET", "FMT", "chunk", "TH"))
-def chain_correct_planes_batch(bufs, L, Emax, EOV, ET, FMT, TH,
+         static_argnames=("L", "Emax", "EOV", "ET", "FMT", "TH", "PS",
+                          "chunk"))
+def chain_correct_planes_batch(bufs, L, Emax, EOV, ET, FMT, TH, PS=(),
                                chunk=CHUNK):
     """Batched slot-plane chain DP: bufs [B, buflen] u16, one contig per
     row (same shape bucket; see chain_correct_packed_batch for the
@@ -818,7 +852,7 @@ def chain_correct_planes_batch(bufs, L, Emax, EOV, ET, FMT, TH,
     b32 = bufs.astype(jnp.int32)
     B = b32.shape[0]
     kpl, cpl, refk, total, ov, s0mask, rate, n_dp, nov, th = _planes_decode(
-        b32, B, L, Emax, EOV, ET, FMT, TH)
+        b32, B, L, Emax, EOV, ET, FMT, TH, PS)
     valid = (jnp.arange(L)[None, :] < n_dp[:, None]).reshape(B * L)
     s0_all = jnp.where((s0mask[:, None] >> jnp.arange(S)[None, :]) & 1 != 0,
                        jnp.float32(0.0), NEG)
@@ -851,10 +885,11 @@ def chain_correct_planes_batch(bufs, L, Emax, EOV, ET, FMT, TH,
     return (choice | zero | low).reshape(B, L)
 
 
-def chain_correct_planes(buf, L, Emax, EOV, ET, FMT, TH, chunk=CHUNK):
+def chain_correct_planes(buf, L, Emax, EOV, ET, FMT, TH, PS=(),
+                         chunk=CHUNK):
     """Single-contig slot-plane chain DP (one row of the batch kernel)."""
     return chain_correct_planes_batch(buf[None], L, Emax, EOV, ET, FMT,
-                                      TH, chunk=chunk)[0]
+                                      TH, PS, chunk=chunk)[0]
 
 
 def pad_to_chunk(n: int, chunk: int = CHUNK) -> int:
@@ -986,14 +1021,13 @@ def dispatch_chain_sparse(uk_in: np.ndarray, cn_in: np.ndarray,
 
             buf = jax.device_put(buf, device)
         return chain_correct_packed(buf, L, E, TH, chunk=chunk)
-    buf, L, Emax, EOV, ET, FMT, TH = pack_chain_planes(
+    buf, *shape = pack_chain_planes(
         uk_in, cn_in, rk_in, refkmer, total, n_dp, rate, cov_ratio, chunk)
     if device is not None:
         import jax
 
         buf = jax.device_put(buf, device)
-    return chain_correct_planes(buf, L, Emax, EOV, ET, FMT, TH,
-                                chunk=chunk)
+    return chain_correct_planes(buf, *shape, chunk=chunk)
 
 
 def pack_chain_sparse(uk_in, cn_in, rk_in, refkmer, total, n_dp, rate,

@@ -154,12 +154,11 @@ def test_planes_matches_entries():
         bufE, L, E, TH = tr.pack_chain_sparse(uk, cn, rk, refkmer, total,
                                               n_dp, 0.5)
         want = np.asarray(tr.chain_correct_packed(bufE, L, E, TH))[:n_dp]
-        bufP, Lp, Emax, EOV, ET, FMT, THp = tr.pack_chain_planes(
+        bufP, *shapeP = tr.pack_chain_planes(
             uk, cn, rk, refkmer, total, n_dp, 0.5)
-        assert (Lp, THp) == (L, TH)
-        seen_eov.add(EOV > 0)
-        got = np.asarray(tr.chain_correct_planes(bufP, Lp, Emax, EOV, ET,
-                                                 FMT, THp))[:n_dp]
+        assert (shapeP[0], shapeP[5]) == (L, TH)
+        seen_eov.add(shapeP[2] > 0)
+        got = np.asarray(tr.chain_correct_planes(bufP, *shapeP))[:n_dp]
         np.testing.assert_array_equal(got, want)
     assert seen_eov == {False, True}, "need both EOV=0 and EOV>0 cases"
 
@@ -177,11 +176,11 @@ def test_planes_batch_matches_singles():
         total[0] = 97  # unify the TH bucket across rows
         cases.append((uk, cn, rk, refkmer, total, 1100 - 8 * b))
     for uk, cn, rk, refkmer, total, n_dp in cases:
-        buf, L, Emax, EOV, ET, FMT, TH = tr.pack_chain_planes(
+        buf, *shape = tr.pack_chain_planes(
             uk, cn, rk, refkmer, total, n_dp, 0.5)
         singles.append(np.asarray(tr.chain_correct_planes(
-            buf, L, Emax, EOV, ET, FMT, TH))[:n_dp])
-        bufs.append((buf, (L, Emax, EOV, ET, FMT, TH)))
+            buf, *shape))[:n_dp])
+        bufs.append((buf, tuple(shape)))
     # rows in a real batch share one shape bucket (the pipeline stages
     # by key): batch the no-overflow pair and the overflow pair
     from collections import defaultdict
